@@ -1,0 +1,29 @@
+"""aerial_gym_simulator_tpu — TPU-native aerial robotics simulation framework.
+
+A from-scratch JAX/XLA/Pallas re-architecture with the capabilities of the
+Aerial Gym Simulator (reference: ntnu-arl/aerial_gym_simulator): massively
+parallel multirotor simulation, geometric controllers, ray-cast exteroceptive
+sensors, randomized obstacle environments, RL task suite and PPO training —
+designed for TPU device meshes (SPMD over jax.sharding) instead of a single
+CUDA GPU.
+
+Importing the package registers all built-in sims/envs/robots/controllers/
+tasks by name (same composition semantics as the reference's registry layer).
+"""
+
+__version__ = "0.1.0"
+
+from .registry.registries import (  # noqa: F401
+    controller_registry,
+    env_config_registry,
+    robot_registry,
+    sim_config_registry,
+    task_registry,
+)
+
+# import-time registration (reference: package __init__ registration pattern)
+from .config import register_all as _register_configs  # noqa: E402
+from .tasks import register_all as _register_tasks  # noqa: E402
+
+_register_configs()
+_register_tasks()

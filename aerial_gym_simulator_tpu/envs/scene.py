@@ -1,0 +1,165 @@
+"""Obstacle scene compilation + functional obstacle state management.
+
+Replaces the reference's AssetLoader/AssetManager/ObstacleManager/WarpEnv
+quartet (env_manager/asset_loader.py, asset_manager.py, obstacle_manager.py,
+warp_env_manager.py): URDF assets are compiled ONCE into padded primitive
+tables (SceneParams); per-(env, slot) poses are plain SimState arrays, so
+the reference's BVH refit after obstacle reset becomes a no-op — the
+ray-cast/collision kernels read poses directly.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import urdf as urdflib
+from ..sim.structs import SceneParams, SimParams, SimState
+from ..utils import rng as rnglib
+from ..utils.math import interpolate_ratio, quat_from_euler_xyz_tensor
+
+_KIND = {"box": 0, "cylinder": 1, "sphere": 2}
+
+# Teleport target for culled obstacles (reference asset_manager.py:72)
+CULL_POSITION = -1000.0
+
+
+def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
+                       seed: int = 1234) -> SceneParams:
+    """Compile the env's asset catalog into device arrays."""
+    asset_types = getattr(env_cfg, "asset_types", [])
+    variants_urdf: List[str] = []
+    variant_type_index: List[int] = []   # variant -> asset type idx
+    type_variant_ranges = []
+    for t_idx, at in enumerate(asset_types):
+        start = len(variants_urdf)
+        for v in at.urdf_variants:
+            variants_urdf.append(v)
+            variant_type_index.append(t_idx)
+        type_variant_ranges.append((start, len(variants_urdf)))
+
+    V = max(len(variants_urdf), 1)
+    P = max_prims
+    prim_kind = -np.ones((V, P), np.int32)
+    prim_size = np.zeros((V, P, 3), np.float32)
+    prim_pos = np.zeros((V, P, 3), np.float32)
+    prim_rot = np.tile(np.eye(3, dtype=np.float32), (V, P, 1, 1))
+    prim_semantic = np.zeros((V, P), np.int32)
+    variant_radius = np.zeros((V,), np.float32)
+
+    sem_counter = 100  # incremental ids for semantic_id == -1 assets
+    for v_idx, text in enumerate(variants_urdf):
+        at = asset_types[variant_type_index[v_idx]]
+        model = urdflib.load_urdf_string(text, name=f"variant_{v_idx}")
+        prims = model.primitives[:P]
+        for p_idx, pr in enumerate(prims):
+            prim_kind[v_idx, p_idx] = _KIND[pr.kind]
+            prim_size[v_idx, p_idx] = pr.size
+            prim_pos[v_idx, p_idx] = pr.xyz
+            prim_rot[v_idx, p_idx] = pr.rot
+            prim_semantic[v_idx, p_idx] = (
+                at.semantic_id if at.semantic_id >= 0 else sem_counter
+            )
+        variant_radius[v_idx] = model.bound_radius
+        sem_counter += 1
+
+    # slots: one per asset instance per env
+    slots_min, slots_max, slots_keep, slots_sem, slot_type = [], [], [], [], []
+    for t_idx, at in enumerate(asset_types):
+        for _ in range(at.num_assets):
+            slots_min.append(at.min_state_ratio)
+            slots_max.append(at.max_state_ratio)
+            slots_keep.append(1.0 if at.keep_in_env else 0.0)
+            slots_sem.append(at.semantic_id)
+            slot_type.append(t_idx)
+    A = len(slots_min)
+
+    # random variant pick per (env, slot) — mirrors the reference's random
+    # per-env asset file selection (asset_loader.py:46-57)
+    rng = np.random.RandomState(seed)
+    env_asset_variant = np.zeros((num_envs, A), np.int32)
+    for a_idx in range(A):
+        lo, hi = type_variant_ranges[slot_type[a_idx]]
+        env_asset_variant[:, a_idx] = rng.randint(lo, hi, size=num_envs)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return SceneParams(
+        prim_kind=jnp.asarray(prim_kind),
+        prim_size=f32(prim_size),
+        prim_pos=f32(prim_pos),
+        prim_rot=f32(prim_rot),
+        prim_semantic=jnp.asarray(prim_semantic),
+        variant_radius=f32(variant_radius),
+        env_asset_variant=jnp.asarray(env_asset_variant),
+        min_state_ratio=f32(np.asarray(slots_min, np.float32)),
+        max_state_ratio=f32(np.asarray(slots_max, np.float32)),
+        keep_in_env=f32(slots_keep),
+        semantic_id=jnp.asarray(np.asarray(slots_sem, np.int32)),
+        num_assets=A,
+        max_prims=P,
+    )
+
+
+def reset_obstacles(params: SimParams, state: SimState, mask: jax.Array,
+                    key: jax.Array) -> SimState:
+    """Resample obstacle poses for envs in mask.
+
+    Pose ratios ~ U[min_state_ratio, max_state_ratio] interpolated into the
+    env bounds (reference asset_manager.py:52-72). With prob 0.15 an env gets
+    half obstacle density this episode; culled non-keep_in_env obstacles are
+    teleported to -1000 (reference env_manager.py:284-295).
+    """
+    sc = params.scene
+    N, A = state.obstacle_pos.shape[0], sc.num_assets
+
+    k_pose = jax.vmap(jax.random.fold_in)(key, jnp.zeros((N,), jnp.uint32))
+    k_half = jax.vmap(jax.random.fold_in)(key, jnp.ones((N,), jnp.uint32))
+    k_cull = jax.vmap(jax.random.fold_in)(key, jnp.full((N,), 2, jnp.uint32))
+
+    ratios = rnglib.env_uniform(k_pose, sc.min_state_ratio, sc.max_state_ratio,
+                                (A, 13))
+    pos = interpolate_ratio(state.bounds_lo[:, None, :], state.bounds_hi[:, None, :],
+                            ratios[..., 0:3])
+    quat = quat_from_euler_xyz_tensor(ratios[..., 3:6])
+
+    # density variation: Bernoulli(0.15) halves the active (non-kept) assets
+    half = rnglib.env_bernoulli(k_half, 0.15)[:, None]                  # (N,1)
+    cull_u = rnglib.env_uniform(k_cull, 0.0, 1.0, (A,))                 # (N,A)
+    keep = sc.keep_in_env[None, :]                                      # (1,A)
+    culled = (1.0 - keep) * half * (cull_u < 0.5).astype(jnp.float32)
+    pos = jnp.where(culled[..., None] > 0,
+                    jnp.full_like(pos, CULL_POSITION), pos)
+
+    m = mask.astype(bool)[:, None, None]
+    new_pos = jnp.where(m, pos, state.obstacle_pos)
+    new_quat = jnp.where(m, quat, state.obstacle_quat)
+    zeros = jnp.zeros_like(state.obstacle_linvel)
+    new_linvel = jnp.where(m, zeros, state.obstacle_linvel)
+    new_angvel = jnp.where(m, zeros, state.obstacle_angvel)
+    return state.replace(obstacle_pos=new_pos, obstacle_quat=new_quat,
+                         obstacle_linvel=new_linvel, obstacle_angvel=new_angvel)
+
+
+def apply_env_actions(params: SimParams, state: SimState,
+                      env_actions: jax.Array) -> SimState:
+    """Dynamic obstacles: env_actions (N, A, 6) -> obstacle twists
+    (reference obstacle_manager.py:40-48)."""
+    if env_actions.ndim == 2:
+        env_actions = jnp.broadcast_to(
+            env_actions[:, None, :],
+            state.obstacle_linvel.shape[:2] + (env_actions.shape[-1],))
+    linvel = env_actions[..., 0:3]
+    angvel = env_actions[..., 3:6] if env_actions.shape[-1] >= 6 else jnp.zeros_like(linvel)
+    return state.replace(obstacle_linvel=linvel, obstacle_angvel=angvel)
+
+
+def integrate_obstacles(params: SimParams, state: SimState) -> SimState:
+    """Kinematic obstacle motion (velocities set by env_actions)."""
+    from ..utils.math import quat_integrate
+    dt = params.dt
+    pos = state.obstacle_pos + dt * state.obstacle_linvel
+    quat = quat_integrate(state.obstacle_quat, state.obstacle_angvel, dt)
+    return state.replace(obstacle_pos=pos, obstacle_quat=quat)

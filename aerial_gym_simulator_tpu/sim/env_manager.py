@@ -1,0 +1,162 @@
+"""Stateful host-side facade over the functional sim core.
+
+API parity with the reference's EnvManager (env_manager/env_manager.py):
+``step(actions, env_actions)``, ``reset()``, ``reset_idx(env_ids)``,
+``get_obs()``, ``post_reward_calculation_step()``. Internally everything is
+one jitted pure function with the state pytree donated each call, so the
+steady state allocates nothing and runs as a single fused TPU program.
+
+RL tasks do NOT have to go through this class — they compose the functional
+pieces into their own fully fused step (tasks/*). This facade exists for
+examples, interactive use, and API-compatible benchmarking.
+"""
+
+from __future__ import annotations
+
+import math
+import random as pyrandom
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..control.controllers import compute_robot_obs
+from ..utils.logging import CustomLogger
+from . import dynamics
+from .structs import SimParams, SimState
+from .params import initial_state
+
+logger = CustomLogger("env_manager")
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=2)
+def _jit_env_step(params_static, params, state, actions, n_substeps):
+    del params_static
+    return dynamics.env_step(params, state, actions, n_substeps)
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=2)
+def _jit_reset(params_static, params, state, mask):
+    del params_static
+    return dynamics.reset_envs(params, state, mask)
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=2)
+def _jit_post_reward(params_static, params, state, crashes, truncations):
+    del params_static
+    state = state.replace(crashes=crashes, truncations=truncations)
+    return dynamics.post_reward_step(params, state)
+
+
+@partial(jax.jit, static_argnums=0)
+def _jit_obs(params_static, state):
+    del params_static
+    obs = compute_robot_obs(state.pos, state.quat, state.linvel, state.angvel)
+    return {
+        "robot_position": obs.pos,
+        "robot_orientation": obs.quat,
+        "robot_linvel": obs.linvel,
+        "robot_angvel": obs.angvel,
+        "robot_euler_angles": obs.euler,
+        "robot_vehicle_orientation": obs.vehicle_quat,
+        "robot_vehicle_linvel": obs.vehicle_linvel,
+        "robot_body_linvel": obs.body_linvel,
+        "robot_body_angvel": obs.body_angvel,
+        "robot_actions": None,
+        "crashes": state.crashes,
+        "truncations": state.truncations,
+        "motor_thrusts": state.motor_thrust,
+        "imu_measurement": jnp.concatenate(
+            [state.applied_force_b, state.applied_torque_b], axis=-1),
+        "obstacle_position": state.obstacle_pos,
+        "obstacle_orientation": state.obstacle_quat,
+    }
+
+
+class EnvManager:
+    """Owns (params, state) and the compiled step/reset programs."""
+
+    def __init__(self, params: SimParams, seed: int = 0, sim_config=None,
+                 env_config=None, robot_config=None, controller_config=None):
+        self.params = params
+        self.sim_config = sim_config
+        self.env_config = env_config
+        self.robot_config = robot_config
+        self.controller_config = controller_config
+        self.num_envs = params.env.num_envs
+        self.num_robot_actions = params.controller.num_actions
+        self.num_env_actions = params.env.num_env_actions
+        self.state: SimState = initial_state(params, seed=seed)
+        self.step_counter = 0
+        self._params_key = id(params)  # static jit key; params never mutate
+        self._py_rng = pyrandom.Random(seed)
+        # env_actions buffer (dynamic obstacle twists)
+        self.env_actions = None
+        self.reset()
+
+    # -- core loop ---------------------------------------------------------
+
+    def _sample_substeps(self) -> int:
+        env = self.params.env
+        if env.substep_std == 0.0:
+            return env.substep_mean
+        return max(int(math.floor(self._py_rng.gauss(env.substep_mean,
+                                                     env.substep_std))), 0)
+
+    def step(self, actions, env_actions=None):
+        actions = jnp.asarray(actions, dtype=jnp.float32)
+        if env_actions is not None:
+            self.env_actions = jnp.asarray(env_actions, dtype=jnp.float32)
+            if self.params.scene is not None and self.params.scene.num_assets > 0:
+                from ..envs.scene import apply_env_actions
+                self.state = apply_env_actions(self.params, self.state,
+                                               self.env_actions)
+        n = jnp.int32(self._sample_substeps())
+        self.state = _jit_env_step(self._params_key, self.params, self.state,
+                                   actions, n)
+        self.step_counter += 1
+        return self.state
+
+    def reset(self):
+        mask = jnp.ones((self.num_envs,), dtype=jnp.float32)
+        self.state = _jit_reset(self._params_key, self.params, self.state, mask)
+        return self.get_obs()
+
+    def reset_idx(self, env_ids):
+        mask = jnp.zeros((self.num_envs,), dtype=jnp.float32)
+        mask = mask.at[jnp.asarray(env_ids)].set(1.0)
+        self.state = _jit_reset(self._params_key, self.params, self.state, mask)
+
+    def post_reward_calculation_step(self, crashes=None, truncations=None):
+        """Auto-reset done envs. The task passes its updated crash/truncation
+        verdicts (functional replacement for the reference's in-place
+        mutation of obs_dict['crashes'])."""
+        crashes = self.state.crashes if crashes is None else crashes
+        truncations = self.state.truncations if truncations is None else truncations
+        self.state = _jit_post_reward(self._params_key, self.params, self.state,
+                                      crashes, truncations)
+
+    # -- observation access --------------------------------------------------
+
+    def get_obs(self) -> Dict[str, jax.Array]:
+        obs = dict(_jit_obs(self._params_key, self.state))
+        obs["num_envs"] = self.num_envs
+        obs["gravity"] = self.params.gravity
+        obs["robot_mass"] = self.params.robot.mass
+        obs["robot_inertia"] = self.params.robot.inertia
+        return obs
+
+    @property
+    def sim_steps(self):
+        return self.state.sim_steps
+
+    def render(self, render_components: str = "sensors"):
+        return None
+
+    def delete_env(self):
+        self.state = None
+
+    def log_memory_use(self):
+        n_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.state))
+        logger.warning(f"SimState device memory: {n_bytes / 1024 / 1024:.2f} MB")

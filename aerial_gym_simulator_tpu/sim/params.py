@@ -1,0 +1,196 @@
+"""Build SimParams / initial SimState from the config tree.
+
+This is the composition point equivalent to the reference's
+EnvManager.__init__/prepare_sim wiring of the global_tensor_dict
+(env_manager.py:37-271) — except the output is an immutable pytree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import procedural, urdf
+from ..config.controller_config.lee_controller_config import ControllerConfig
+from ..config.env_config.base_env_config import EnvConfig
+from ..config.robot_config.base_quad_config import RobotConfig
+from ..config.sim_config.base_sim_config import SimConfig
+from ..utils import rng as rnglib
+from ..utils.logging import CustomLogger
+from .structs import (
+    ControllerParams,
+    EnvParams,
+    MotorParams,
+    RobotParams,
+    SceneParams,
+    SimParams,
+    SimState,
+)
+
+logger = CustomLogger("sim_params")
+
+_f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+
+
+def resolve_robot_model(robot_cfg: RobotConfig) -> urdf.UrdfModel:
+    """Load the robot URDF (from disk if configured, else procedural)."""
+    asset = robot_cfg.robot_asset
+    path = os.path.join(asset.asset_folder, asset.file) if asset.asset_folder else ""
+    if path and os.path.exists(path):
+        return urdf.load_urdf(path, semantic_id=asset.semantic_id,
+                              per_link_semantic=asset.per_link_semantic)
+    # procedural generation from the allocation geometry
+    alloc = robot_cfg.control_allocator_config.allocation_matrix
+    positions = procedural.motor_layout_from_allocation(alloc)
+    text = procedural.multirotor_urdf(name=robot_cfg.name, motor_positions=positions)
+    return urdf.load_urdf_string(text, name=robot_cfg.name)
+
+
+def build_motor_params(robot_cfg: RobotConfig) -> MotorParams:
+    ca = robot_cfg.control_allocator_config
+    mm = ca.motor_model_config
+    alloc = np.asarray(ca.allocation_matrix, dtype=np.float32)
+    rank = np.linalg.matrix_rank(alloc)
+    if rank < 6:
+        logger.warning(f"allocation matrix is not full rank (rank={rank})")
+    pinv = np.linalg.pinv(alloc)
+    return MotorParams(
+        allocation_matrix=_f32(alloc),
+        allocation_pinv=_f32(pinv),
+        motor_directions=_f32(ca.motor_directions),
+        min_thrust=_f32(mm.min_thrust),
+        max_thrust=_f32(mm.max_thrust),
+        max_thrust_rate=_f32(mm.max_thrust_rate),
+        tau_inc_min=_f32(mm.motor_time_constant_increasing_min),
+        tau_inc_max=_f32(mm.motor_time_constant_increasing_max),
+        tau_dec_min=_f32(mm.motor_time_constant_decreasing_min),
+        tau_dec_max=_f32(mm.motor_time_constant_decreasing_max),
+        thrust_constant_min=_f32(mm.motor_thrust_constant_min),
+        thrust_constant_max=_f32(mm.motor_thrust_constant_max),
+        thrust_to_torque_ratio=_f32(mm.thrust_to_torque_ratio),
+        use_rps=mm.use_rps,
+        use_discrete_approximation=mm.use_discrete_approximation,
+        integration_scheme=mm.integration_scheme,
+        num_motors=ca.num_motors,
+    )
+
+
+def build_robot_params(robot_cfg: RobotConfig) -> RobotParams:
+    model = resolve_robot_model(robot_cfg)
+    asset = robot_cfg.robot_asset
+    mass = asset.mass if asset.mass is not None else model.mass
+    inertia = (np.asarray(asset.inertia, dtype=np.float64)
+               if asset.inertia is not None else model.inertia)
+    inv_inertia = np.linalg.inv(inertia)
+    radius = (asset.collision_radius if asset.collision_radius is not None
+              else model.bound_radius)
+    damping = robot_cfg.damping
+    dist = robot_cfg.disturbance
+    return RobotParams(
+        mass=_f32(mass),
+        inertia=_f32(inertia),
+        inv_inertia=_f32(inv_inertia),
+        linear_damping=_f32(asset.linear_damping),
+        angular_damping=_f32(asset.angular_damping),
+        max_linear_velocity=_f32(asset.max_linear_velocity),
+        max_angular_velocity=_f32(asset.max_angular_velocity),
+        collision_radius=_f32(radius),
+        drag_lin_linear=_f32(damping.linvel_linear_damping_coefficient),
+        drag_lin_quadratic=_f32(damping.linvel_quadratic_damping_coefficient),
+        drag_ang_linear=_f32(damping.angular_linear_damping_coefficient),
+        drag_ang_quadratic=_f32(damping.angular_quadratic_damping_coefficient),
+        min_init_state=_f32(robot_cfg.init_config.min_init_state),
+        max_init_state=_f32(robot_cfg.init_config.max_init_state),
+        disturbance_prob=_f32(dist.prob_apply_disturbance),
+        max_force_disturbance=_f32(dist.max_force_and_torque_disturbance[0:3]),
+        max_torque_disturbance=_f32(dist.max_force_and_torque_disturbance[3:6]),
+        enable_disturbance=dist.enable_disturbance,
+        force_application_level=robot_cfg.control_allocator_config.force_application_level,
+    )
+
+
+def build_controller_params(ctrl_cfg: ControllerConfig) -> ControllerParams:
+    return ControllerParams(
+        K_pos_min=_f32(ctrl_cfg.K_pos_tensor_min),
+        K_pos_max=_f32(ctrl_cfg.K_pos_tensor_max),
+        K_vel_min=_f32(ctrl_cfg.K_vel_tensor_min),
+        K_vel_max=_f32(ctrl_cfg.K_vel_tensor_max),
+        K_rot_min=_f32(ctrl_cfg.K_rot_tensor_min),
+        K_rot_max=_f32(ctrl_cfg.K_rot_tensor_max),
+        K_angvel_min=_f32(ctrl_cfg.K_angvel_tensor_min),
+        K_angvel_max=_f32(ctrl_cfg.K_angvel_tensor_max),
+        max_yaw_rate=_f32(ctrl_cfg.max_yaw_rate),
+        max_inclination_angle=_f32(ctrl_cfg.max_inclination_angle_rad),
+        randomize_params=ctrl_cfg.randomize_params,
+        name=ctrl_cfg.name,
+        num_actions=ctrl_cfg.num_actions,
+    )
+
+
+def build_env_params(env_cfg: EnvConfig, num_envs: Optional[int] = None) -> EnvParams:
+    return EnvParams(
+        lower_bound_min=_f32(env_cfg.lower_bound_min),
+        lower_bound_max=_f32(env_cfg.lower_bound_max),
+        upper_bound_min=_f32(env_cfg.upper_bound_min),
+        upper_bound_max=_f32(env_cfg.upper_bound_max),
+        collision_force_threshold=_f32(env_cfg.collision_force_threshold),
+        reset_on_collision=env_cfg.reset_on_collision,
+        create_ground_plane=env_cfg.create_ground_plane,
+        substep_mean=int(env_cfg.num_physics_steps_per_env_step_mean),
+        substep_std=float(env_cfg.num_physics_steps_per_env_step_std),
+        num_envs=int(num_envs if num_envs is not None else env_cfg.num_envs),
+        num_env_actions=env_cfg.num_env_actions,
+    )
+
+
+def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
+                     robot_cfg: RobotConfig, ctrl_cfg: ControllerConfig,
+                     num_envs: Optional[int] = None,
+                     scene: Optional[SceneParams] = None) -> SimParams:
+    return SimParams(
+        dt=_f32(sim_cfg.dt),
+        gravity=_f32(sim_cfg.gravity),
+        robot=build_robot_params(robot_cfg),
+        motor=build_motor_params(robot_cfg),
+        controller=build_controller_params(ctrl_cfg),
+        env=build_env_params(env_cfg, num_envs),
+        scene=scene,
+    )
+
+
+def initial_state(params: SimParams, seed: int = 0) -> SimState:
+    """Allocate the full per-env state pytree (pre-reset zeros + keys)."""
+    N = params.env.num_envs
+    M = params.motor.num_motors
+    A = params.scene.num_assets if params.scene is not None else 0
+    z = lambda *shape: jnp.zeros(shape, dtype=jnp.float32)
+    quat0 = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
+    cp = params.controller
+    mid = lambda lo, hi: jnp.broadcast_to((lo + hi) / 2.0, (N, 3))
+    return SimState(
+        pos=z(N, 3), quat=quat0, linvel=z(N, 3), angvel=z(N, 3),
+        motor_thrust=z(N, M),
+        motor_tau_inc=jnp.broadcast_to(params.motor.tau_inc_min, (N, M)),
+        motor_tau_dec=jnp.broadcast_to(params.motor.tau_dec_min, (N, M)),
+        motor_thrust_constant=jnp.broadcast_to(
+            (params.motor.thrust_constant_min + params.motor.thrust_constant_max) / 2.0,
+            (N, M)),
+        K_pos=mid(cp.K_pos_min, cp.K_pos_max),
+        K_vel=mid(cp.K_vel_min, cp.K_vel_max),
+        K_rot=mid(cp.K_rot_min, cp.K_rot_max),
+        K_angvel=mid(cp.K_angvel_min, cp.K_angvel_max),
+        bounds_lo=jnp.broadcast_to(params.env.lower_bound_min, (N, 3)),
+        bounds_hi=jnp.broadcast_to(params.env.upper_bound_min, (N, 3)),
+        collisions=z(N), crashes=z(N), truncations=z(N),
+        sim_steps=jnp.zeros((N,), jnp.int32),
+        rng=rnglib.make_env_keys(seed, N),
+        applied_force_b=z(N, 3), applied_torque_b=z(N, 3),
+        obstacle_pos=z(N, A, 3),
+        obstacle_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, A, 1)),
+        obstacle_linvel=z(N, A, 3),
+        obstacle_angvel=z(N, A, 3),
+    )

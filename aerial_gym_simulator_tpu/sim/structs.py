@@ -1,0 +1,178 @@
+"""Core pytrees of the TPU-native simulator.
+
+The reference's mutable ``global_tensor_dict`` (env_manager.py:71) — a bus of
+in-place-mutated torch views — is replaced by one explicit functional state:
+
+    SimParams: static, config-derived arrays (shared across envs)
+    SimState:  per-env dynamic state, leading axis = num_envs
+
+``step: (SimParams, SimState, actions) -> SimState`` is pure and jitted;
+sharding the env axis over a device mesh makes the same code run multi-chip
+(SURVEY.md section 7 architecture stance).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class MotorParams:
+    # (6, M) wrench allocation and its pseudo-inverse (M, 6)
+    allocation_matrix: jax.Array
+    allocation_pinv: jax.Array
+    motor_directions: jax.Array          # (M,)
+    min_thrust: jax.Array                # scalar
+    max_thrust: jax.Array
+    max_thrust_rate: jax.Array
+    tau_inc_min: jax.Array
+    tau_inc_max: jax.Array
+    tau_dec_min: jax.Array
+    tau_dec_max: jax.Array
+    thrust_constant_min: jax.Array       # rps-domain thrust constant bounds
+    thrust_constant_max: jax.Array
+    thrust_to_torque_ratio: jax.Array
+    use_rps: bool = struct.field(pytree_node=False, default=True)
+    use_discrete_approximation: bool = struct.field(pytree_node=False, default=True)
+    integration_scheme: str = struct.field(pytree_node=False, default="rk4")
+    num_motors: int = struct.field(pytree_node=False, default=4)
+
+
+@struct.dataclass
+class ControllerParams:
+    K_pos_min: jax.Array                 # (3,)
+    K_pos_max: jax.Array
+    K_vel_min: jax.Array
+    K_vel_max: jax.Array
+    K_rot_min: jax.Array
+    K_rot_max: jax.Array
+    K_angvel_min: jax.Array
+    K_angvel_max: jax.Array
+    max_yaw_rate: jax.Array              # scalar
+    max_inclination_angle: jax.Array
+    randomize_params: bool = struct.field(pytree_node=False, default=False)
+    name: str = struct.field(pytree_node=False, default="lee_attitude_control")
+    num_actions: int = struct.field(pytree_node=False, default=4)
+
+
+@struct.dataclass
+class RobotParams:
+    mass: jax.Array                      # scalar
+    inertia: jax.Array                   # (3, 3)
+    inv_inertia: jax.Array               # (3, 3)
+    linear_damping: jax.Array            # engine per-body damping, scalar
+    angular_damping: jax.Array
+    max_linear_velocity: jax.Array
+    max_angular_velocity: jax.Array
+    collision_radius: jax.Array          # bounding-sphere contact proxy
+    # aerodynamic drag along body axes (3,) each
+    drag_lin_linear: jax.Array
+    drag_lin_quadratic: jax.Array
+    drag_ang_linear: jax.Array
+    drag_ang_quadratic: jax.Array
+    # reset sampling [ratio_xyz, rpy, 1, v, w] (13,)
+    min_init_state: jax.Array
+    max_init_state: jax.Array
+    # disturbance
+    disturbance_prob: jax.Array
+    max_force_disturbance: jax.Array     # (3,)
+    max_torque_disturbance: jax.Array    # (3,)
+    enable_disturbance: bool = struct.field(pytree_node=False, default=False)
+    force_application_level: str = struct.field(pytree_node=False, default="motor_link")
+
+
+@struct.dataclass
+class EnvParams:
+    lower_bound_min: jax.Array           # (3,)
+    lower_bound_max: jax.Array
+    upper_bound_min: jax.Array
+    upper_bound_max: jax.Array
+    collision_force_threshold: jax.Array
+    reset_on_collision: bool = struct.field(pytree_node=False, default=True)
+    create_ground_plane: bool = struct.field(pytree_node=False, default=False)
+    substep_mean: int = struct.field(pytree_node=False, default=1)
+    substep_std: float = struct.field(pytree_node=False, default=0.0)
+    num_envs: int = struct.field(pytree_node=False, default=64)
+    num_env_actions: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class SceneParams:
+    """Static obstacle scene as a primitive soup (envs/scene.py builds it).
+
+    Geometry lives in a (V variants, P max-prims-per-asset) padded table;
+    each of the A asset slots in each env holds one variant (picked at build
+    like the reference's random per-env asset file selection,
+    asset_loader.py:46-57). Per-(env, slot) pose state lives in SimState.
+    """
+    prim_kind: jax.Array                 # (V, P) int32: 0 box, 1 cyl, 2 sphere, -1 pad
+    prim_size: jax.Array                 # (V, P, 3)
+    prim_pos: jax.Array                  # (V, P, 3) local offset in asset frame
+    prim_rot: jax.Array                  # (V, P, 3, 3)
+    prim_semantic: jax.Array             # (V, P) int32
+    variant_radius: jax.Array            # (V,) bounding radius for broad phase
+    env_asset_variant: jax.Array         # (N, A) int32 -> variant index
+    # reset pose-ratio ranges per asset slot [ratio_xyz, rpy, 1, v, w]
+    min_state_ratio: jax.Array           # (A, 13)
+    max_state_ratio: jax.Array           # (A, 13)
+    keep_in_env: jax.Array               # (A,) 1.0 = always present
+    semantic_id: jax.Array               # (A,) int32 asset-level id
+    num_assets: int = struct.field(pytree_node=False, default=0)
+    max_prims: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class SimParams:
+    dt: jax.Array                        # scalar
+    gravity: jax.Array                   # (3,)
+    robot: RobotParams
+    motor: MotorParams
+    controller: ControllerParams
+    env: EnvParams
+    scene: Optional[SceneParams] = None
+
+
+@struct.dataclass
+class SimState:
+    """Per-env dynamic state; every leaf has leading dim num_envs."""
+    # rigid body root state (world frame; quat xyzw; angvel world frame,
+    # matching Isaac Gym's root-state layout)
+    pos: jax.Array                       # (N, 3)
+    quat: jax.Array                      # (N, 4)
+    linvel: jax.Array                    # (N, 3)
+    angvel: jax.Array                    # (N, 3)
+    # actuators
+    motor_thrust: jax.Array              # (N, M)
+    motor_tau_inc: jax.Array             # (N, M) randomized time constants
+    motor_tau_dec: jax.Array             # (N, M)
+    motor_thrust_constant: jax.Array     # (N, M)
+    # controller gains (randomized per env on reset when enabled)
+    K_pos: jax.Array                     # (N, 3)
+    K_vel: jax.Array
+    K_rot: jax.Array
+    K_angvel: jax.Array
+    # per-env world bounds (resampled at reset)
+    bounds_lo: jax.Array                 # (N, 3)
+    bounds_hi: jax.Array                 # (N, 3)
+    # bookkeeping
+    collisions: jax.Array                # (N,) accumulated this env step
+    crashes: jax.Array                   # (N,)
+    truncations: jax.Array               # (N,)
+    sim_steps: jax.Array                 # (N,) int32
+    rng: jax.Array                       # (N, 2) uint32 per-env keys
+    # most recent applied body wrench (for IMU / debugging)
+    applied_force_b: jax.Array           # (N, 3) body frame, excludes gravity
+    applied_torque_b: jax.Array          # (N, 3)
+    # obstacle states (empty (N, 0, ...) when scene has no assets)
+    obstacle_pos: jax.Array              # (N, A, 3)
+    obstacle_quat: jax.Array             # (N, A, 4)
+    obstacle_linvel: jax.Array           # (N, A, 3)
+    obstacle_angvel: jax.Array           # (N, A, 3)
+
+    @property
+    def num_envs(self) -> int:
+        return self.pos.shape[0]
