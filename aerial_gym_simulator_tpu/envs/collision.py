@@ -50,22 +50,22 @@ def primitive_sdf(kind, size, p):
 
 
 def scene_sdf_point(params: SimParams, state: SimState, p_world: jax.Array):
-    """Min signed distance from world points (N, 3) to each env's obstacles."""
+    """Min signed distance from world points (N, 3) to each env's obstacles.
+
+    Uses the flattened per-env primitive soup (N, P): gather the owning
+    asset's pose per primitive, transform the query point into the primitive
+    frame, evaluate the SDF, min-reduce.
+    """
     sc = params.scene
-    # transform into each asset frame: (N, A, 3)
-    rel = p_world[:, None, :] - state.obstacle_pos
-    p_asset = quat_rotate_inverse(state.obstacle_quat, rel)
-    # gather per-slot primitive tables: (N, A, P, ...)
-    var = sc.env_asset_variant                       # (N, A)
-    kind = sc.prim_kind[var]                         # (N, A, P)
-    size = sc.prim_size[var]                         # (N, A, P, 3)
-    ppos = sc.prim_pos[var]
-    prot = sc.prim_rot[var]                          # (N, A, P, 3, 3)
-    # point in primitive frame
-    rel_p = p_asset[:, :, None, :] - ppos
-    local = jnp.einsum("napji,napj->napi", prot, rel_p)  # R^T @ rel
-    d = primitive_sdf(kind, size, local)             # (N, A, P)
-    return jnp.min(d, axis=(1, 2))
+    slot = sc.env_prim_slot                                      # (N, P)
+    a_pos = jnp.take_along_axis(state.obstacle_pos, slot[..., None], axis=1)
+    a_quat = jnp.take_along_axis(state.obstacle_quat, slot[..., None], axis=1)
+    rel = p_world[:, None, :] - a_pos                            # (N, P, 3)
+    p_asset = quat_rotate_inverse(a_quat, rel)
+    rel_p = p_asset - sc.env_prim_pos
+    local = jnp.einsum("npji,npj->npi", sc.env_prim_rot, rel_p)  # R^T @ rel
+    d = primitive_sdf(sc.env_prim_kind, sc.env_prim_size, local) # (N, P)
+    return jnp.min(d, axis=1)
 
 
 def obstacle_contact_forces(params: SimParams, state: SimState) -> jax.Array:

@@ -85,6 +85,33 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         lo, hi = type_variant_ranges[slot_type[a_idx]]
         env_asset_variant[:, a_idx] = rng.randint(lo, hi, size=num_envs)
 
+    # ---- flattened per-env primitive soup --------------------------------
+    # count actual prims per variant
+    variant_nprims = [(prim_kind[v] >= 0).sum() for v in range(V)]
+    env_counts = [
+        int(sum(variant_nprims[env_asset_variant[e, a]] for a in range(A)))
+        for e in range(num_envs)
+    ] or [0]
+    P_env = max(max(env_counts), 1)
+    ep_slot = np.zeros((num_envs, P_env), np.int32)
+    ep_kind = -np.ones((num_envs, P_env), np.int32)
+    ep_size = np.zeros((num_envs, P_env, 3), np.float32)
+    ep_pos = np.zeros((num_envs, P_env, 3), np.float32)
+    ep_rot = np.tile(np.eye(3, dtype=np.float32), (num_envs, P_env, 1, 1))
+    ep_sem = np.zeros((num_envs, P_env), np.int32)
+    for e in range(num_envs):
+        c = 0
+        for a in range(A):
+            v = env_asset_variant[e, a]
+            n = int(variant_nprims[v])
+            ep_slot[e, c:c + n] = a
+            ep_kind[e, c:c + n] = prim_kind[v, :n]
+            ep_size[e, c:c + n] = prim_size[v, :n]
+            ep_pos[e, c:c + n] = prim_pos[v, :n]
+            ep_rot[e, c:c + n] = prim_rot[v, :n]
+            ep_sem[e, c:c + n] = prim_semantic[v, :n]
+            c += n
+
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return SceneParams(
         prim_kind=jnp.asarray(prim_kind),
@@ -98,8 +125,15 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         max_state_ratio=f32(np.asarray(slots_max, np.float32)),
         keep_in_env=f32(slots_keep),
         semantic_id=jnp.asarray(np.asarray(slots_sem, np.int32)),
+        env_prim_slot=jnp.asarray(ep_slot),
+        env_prim_kind=jnp.asarray(ep_kind),
+        env_prim_size=f32(ep_size),
+        env_prim_pos=f32(ep_pos),
+        env_prim_rot=f32(ep_rot),
+        env_prim_semantic=jnp.asarray(ep_sem),
         num_assets=A,
         max_prims=P,
+        num_env_prims=P_env,
     )
 
 

@@ -1,0 +1,60 @@
+"""Multi-chip dry run: jit the FULL PPO train step over an n-device mesh.
+
+Validates the production sharding layout without real chips: env-sharded
+simulation state + replicated learner, one train step executed on tiny
+shapes. The driver calls this with XLA's virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import ENV_AXIS, make_mesh
+
+
+def run_dryrun(n_devices: int) -> None:
+    assert len(jax.devices()) >= n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())} "
+        f"(set --xla_force_host_platform_device_count)")
+
+    import aerial_gym_simulator_tpu as ag
+    from ..rl.ppo import PPOConfig, PPOTrainer
+
+    num_envs = 4 * n_devices  # tiny but shardable
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=num_envs, seed=0)
+    cfg = PPOConfig(num_envs=num_envs, horizon=4,
+                    minibatch_size=num_envs * 4 // 2, epochs=2, seed=0)
+    trainer = PPOTrainer(task, cfg)
+
+    mesh = make_mesh(n_devices)
+    env_sh = NamedSharding(mesh, P(ENV_AXIS))
+    rep_sh = NamedSharding(mesh, P())
+
+    # shard: sim state + obs on env axis; learner replicated
+    obs_tuple = task.reset()
+    obs = jax.device_put(obs_tuple[0]["observations"], env_sh)
+    sim_state = jax.device_put(task.state, env_sh)
+    train_state = jax.device_put(trainer.train_state, rep_sh)
+    norm = jax.device_put(trainer.norm, rep_sh)
+    key = jax.device_put(trainer.key, rep_sh)
+
+    step = jax.jit(
+        trainer.train_step_fn,
+        in_shardings=(rep_sh, env_sh, env_sh, rep_sh, rep_sh),
+        out_shardings=(rep_sh, env_sh, env_sh, rep_sh, rep_sh, rep_sh),
+    )
+
+    ts, sim_state, obs, key, norm, metrics = step(train_state, sim_state, obs,
+                                                  key, norm)
+    jax.block_until_ready(metrics["reward_mean"])
+
+    # verify layout survived
+    assert len(sim_state.pos.sharding.device_set) == n_devices, (
+        "sim state not sharded over the mesh")
+    print(f"dryrun_multichip OK: {n_devices} devices, "
+          f"{num_envs} envs sharded, reward_mean="
+          f"{float(metrics['reward_mean']):.3f}")

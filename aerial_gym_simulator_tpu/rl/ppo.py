@@ -1,0 +1,283 @@
+"""PPO learner — fully on-device rollout + update in one jitted train step.
+
+Capability parity with the reference's RL stack (rl_training/: rl-games
+runner, CleanRL ppo_continuous_action.py with GPU-vectorized GAE): clipped
+PPO, GAE(lambda), advantage normalization, entropy bonus, lr/clip from a
+config mirroring ppo_aerial_quad.yaml (8192 envs, horizon 32, minibatch
+8192, gamma 0.99).
+
+TPU-first design: the environment rollout is a lax.scan over the fused task
+step, so T env-steps x N envs + GAE + the full epoch/minibatch PPO update
+compile into ONE XLA program. Multi-chip: env axis sharded over the mesh,
+params replicated; XLA inserts the gradient all-reduce (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from ..sim import dynamics
+from ..sim.structs import SimParams, SimState
+from ..tasks.position_setpoint_task import task_step
+from ..utils.logging import CustomLogger
+from .networks import ActorCritic, gaussian_entropy, gaussian_logp, sample_action
+
+logger = CustomLogger("ppo")
+
+
+@dataclass
+class PPOConfig:
+    """Defaults follow rl_training/rl_games/ppo_aerial_quad.yaml."""
+    num_envs: int = 8192
+    horizon: int = 32
+    minibatch_size: int = 8192
+    epochs: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    value_coef: float = 2.0
+    entropy_coef: float = 0.0
+    lr: float = 3e-4
+    max_grad_norm: float = 1.0
+    total_env_steps: int = 50_000_000
+    hidden: Tuple[int, ...] = (256, 128, 64)
+    activation: str = "elu"
+    normalize_advantage: bool = True
+    normalize_obs: bool = True
+    reward_scale: float = 0.1
+    seed: int = 42
+
+
+class RunningMeanStd:
+    """Functional running obs normalizer state (as pytree dict)."""
+
+    @staticmethod
+    def init(dim):
+        return {
+            "mean": jnp.zeros((dim,), jnp.float32),
+            "var": jnp.ones((dim,), jnp.float32),
+            "count": jnp.asarray(1e-4, jnp.float32),
+        }
+
+    @staticmethod
+    def update(s, batch2d):
+        b_mean = batch2d.mean(axis=0)
+        b_var = batch2d.var(axis=0)
+        b_count = jnp.asarray(batch2d.shape[0], jnp.float32)
+        delta = b_mean - s["mean"]
+        tot = s["count"] + b_count
+        mean = s["mean"] + delta * b_count / tot
+        m_a = s["var"] * s["count"]
+        m_b = b_var * b_count
+        M2 = m_a + m_b + delta * delta * s["count"] * b_count / tot
+        return {"mean": mean, "var": M2 / tot, "count": tot}
+
+    @staticmethod
+    def normalize(s, x):
+        return jnp.clip((x - s["mean"]) / jnp.sqrt(s["var"] + 1e-8), -5.0, 5.0)
+
+
+def make_train_step(params: SimParams, cfg: PPOConfig, episode_len: int,
+                    crash_dist: float):
+    """Build the single jitted train step:
+    (train_state, sim_state, obs, key, norm) -> (..., metrics)."""
+
+    N, T = cfg.num_envs, cfg.horizon
+    batch = N * T
+    n_minibatches = max(batch // cfg.minibatch_size, 1)
+    target = jnp.zeros((N, 3), jnp.float32)
+
+    def env_step(carry, _):
+        ts, sim_state, obs, key, norm = carry
+        key, akey = jax.random.split(key)
+        norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
+        mean, log_std, value = ts.apply_fn(ts.params, norm_obs)
+        action, logp = sample_action(mean, log_std, akey)
+        sim_state, next_obs, reward, term, trunc = task_step(
+            params, sim_state, action, target, episode_len, crash_dist, None)
+        done = jnp.maximum(term, trunc)
+        transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
+                      done, term)
+        return (ts, sim_state, next_obs, key, norm), transition
+
+    def compute_gae(values, rewards, dones, last_value):
+        # time-major (T, N)
+        def scan_fn(carry, t):
+            gae = carry
+            v, r, d, v_next = t
+            delta = r + cfg.gamma * v_next * (1.0 - d) - v
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - d) * gae
+            return gae, gae
+
+        v_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
+        _, adv = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
+                              (values, rewards, dones, v_next), reverse=True)
+        return adv, adv + values
+
+    def loss_fn(net_params, ts, mb):
+        obs, action, old_logp, old_value, adv, ret = mb
+        mean, log_std, value = ts.apply_fn(net_params, obs)
+        logp = gaussian_logp(mean, log_std, action)
+        ratio = jnp.exp(logp - old_logp)
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+        pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+        v_clipped = old_value + jnp.clip(value - old_value, -cfg.clip_eps,
+                                         cfg.clip_eps)
+        v_loss = 0.5 * jnp.mean(jnp.maximum((value - ret) ** 2,
+                                            (v_clipped - ret) ** 2))
+        ent = jnp.mean(gaussian_entropy(log_std))
+        total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
+        return total, (pg_loss, v_loss, ent)
+
+    def train_step(ts: TrainState, sim_state: SimState, obs, key, norm):
+        # ---- rollout (scan over fused env step) --------------------------
+        (ts, sim_state, obs, key, norm), traj = jax.lax.scan(
+            env_step, (ts, sim_state, obs, key, norm), None, length=T)
+        norm_obs_t, actions_t, logps_t, values_t, rewards_t, dones_t, terms_t = traj
+
+        if cfg.normalize_obs:
+            norm = RunningMeanStd.update(norm, norm_obs_t.reshape(batch, -1))
+
+        last_norm_obs = (RunningMeanStd.normalize(norm, obs)
+                         if cfg.normalize_obs else obs)
+        _, _, last_value = ts.apply_fn(ts.params, last_norm_obs)
+        adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
+
+        flat = lambda x: x.reshape((batch,) + x.shape[2:])
+        data = (flat(norm_obs_t), flat(actions_t), flat(logps_t),
+                flat(values_t), flat(adv_t), flat(ret_t))
+
+        # ---- PPO epochs ---------------------------------------------------
+        def epoch(carry, _):
+            ts, key = carry
+            key, pkey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, batch)
+            shuffled = tuple(x[perm] for x in data)
+
+            def minibatch(ts, mb_idx):
+                mb = tuple(
+                    jax.lax.dynamic_slice_in_dim(x, mb_idx * cfg.minibatch_size,
+                                                 cfg.minibatch_size, axis=0)
+                    for x in shuffled)
+                obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb = mb
+                if cfg.normalize_advantage:
+                    adv_mb = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
+                mb = (obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, ts, mb)
+                return ts.apply_gradients(grads=grads), aux
+
+            ts, aux = jax.lax.scan(minibatch, ts, jnp.arange(n_minibatches))
+            return (ts, key), aux
+
+        (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+
+        metrics = {
+            "reward_mean": rewards_t.mean() / cfg.reward_scale,
+            "done_rate": dones_t.mean(),
+            "crash_rate": terms_t.mean(),
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": ent,
+            "value_mean": values_t.mean(),
+        }
+        return ts, sim_state, obs, key, norm, metrics
+
+    return train_step
+
+
+class PPOTrainer:
+    """Host-side loop around the jitted train step (CleanRL-runner analog)."""
+
+    def __init__(self, task, cfg: PPOConfig):
+        self.task = task
+        self.cfg = cfg
+        obs_dim = task.task_config.observation_space_dim
+        act_dim = task.task_config.action_space_dim
+
+        self.network = ActorCritic(action_dim=act_dim, hidden=cfg.hidden,
+                                   activation=cfg.activation)
+        key = jax.random.PRNGKey(cfg.seed)
+        key, init_key = jax.random.split(key)
+        net_params = self.network.init(init_key, jnp.zeros((1, obs_dim)))
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.lr, eps=1e-5),
+        )
+        self.train_state = TrainState.create(apply_fn=self.network.apply,
+                                             params=net_params, tx=tx)
+        self.norm = RunningMeanStd.init(obs_dim)
+        self.key = key
+
+        self.train_step_fn = make_train_step(
+            task.params, cfg, task.task_config.episode_len_steps,
+            task.task_config.crash_dist_threshold)
+        self._train_step = jax.jit(self.train_step_fn, donate_argnums=(1,))
+
+    def train(self, total_env_steps: Optional[int] = None, log_every: int = 10):
+        cfg = self.cfg
+        total = total_env_steps or cfg.total_env_steps
+        steps_per_iter = cfg.num_envs * cfg.horizon
+        iters = max(total // steps_per_iter, 1)
+
+        obs_tuple = self.task.reset()
+        obs = obs_tuple[0]["observations"]
+        sim_state = self.task.state
+
+        history = []
+        t_start = time.perf_counter()
+        for it in range(iters):
+            (self.train_state, sim_state, obs, self.key, self.norm,
+             metrics) = self._train_step(self.train_state, sim_state, obs,
+                                         self.key, self.norm)
+            if it % log_every == 0 or it == iters - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["iter"] = it
+                m["env_steps"] = (it + 1) * steps_per_iter
+                m["wall_s"] = time.perf_counter() - t_start
+                m["env_steps_per_s"] = m["env_steps"] / m["wall_s"]
+                history.append(m)
+                logger.info(
+                    f"it {it:4d} steps {m['env_steps']:.2e} "
+                    f"reward {m['reward_mean']:7.3f} crash {m['crash_rate']:.3f} "
+                    f"sps {m['env_steps_per_s']:.0f} wall {m['wall_s']:.1f}s")
+        self.task.sim_env.state = sim_state
+        return history
+
+
+def main():
+    import argparse
+
+    import aerial_gym_simulator_tpu as ag
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="position_setpoint_task")
+    p.add_argument("--num_envs", type=int, default=8192)
+    p.add_argument("--total_steps", type=int, default=50_000_000)
+    p.add_argument("--horizon", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
+                                      seed=args.seed)
+    cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
+                    minibatch_size=min(8192, args.num_envs * args.horizon),
+                    total_env_steps=args.total_steps, seed=args.seed)
+    trainer = PPOTrainer(task, cfg)
+    history = trainer.train()
+    print(f"final reward: {history[-1]['reward_mean']:.3f} "
+          f"({history[-1]['wall_s']:.1f}s wall)")
+
+
+if __name__ == "__main__":
+    main()

@@ -121,8 +121,18 @@ class SceneParams:
     max_state_ratio: jax.Array           # (A, 13)
     keep_in_env: jax.Array               # (A,) 1.0 = always present
     semantic_id: jax.Array               # (A,) int32 asset-level id
+    # flattened per-env primitive soup (renderer/collision hot path): the
+    # variant choice per (env, slot) is static, so each env's scene compacts
+    # to exactly its primitives, padded to the max across envs.
+    env_prim_slot: jax.Array             # (N, P) int32 -> asset slot (pose index)
+    env_prim_kind: jax.Array             # (N, P) int32, -1 pad
+    env_prim_size: jax.Array             # (N, P, 3)
+    env_prim_pos: jax.Array              # (N, P, 3)
+    env_prim_rot: jax.Array              # (N, P, 3, 3)
+    env_prim_semantic: jax.Array         # (N, P) int32
     num_assets: int = struct.field(pytree_node=False, default=0)
     max_prims: int = struct.field(pytree_node=False, default=0)
+    num_env_prims: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass

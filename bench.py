@@ -1,0 +1,65 @@
+"""Benchmark: aggregate state-based env stepping throughput.
+
+Equivalent of the reference's examples/benchmark.py physics benchmark
+(FPS + realtime speedup printout), sized to the BASELINE.json metric:
+env-steps/s at 16k envs, state-based position-setpoint stepping.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is vs the driver target of 5M env-steps/s aggregate on one host.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_S = 5_000_000.0
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16384))
+    steps = int(os.environ.get("BENCH_STEPS", 300))
+    warmup = 20
+
+    if jax.default_backend() == "cpu":
+        # CPU fallback sizing (CI/dev machines without the TPU tunnel)
+        num_envs = min(num_envs, 2048)
+        steps = min(steps, 100)
+
+    import aerial_gym_simulator_tpu as ag
+
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=num_envs, seed=0)
+    task.reset()
+    actions = jnp.zeros((num_envs, 4), jnp.float32)
+
+    for _ in range(warmup):
+        task.step(actions)
+    jax.block_until_ready(task.state.pos)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        task.step(actions)
+    jax.block_until_ready(task.state.pos)
+    dt = time.perf_counter() - t0
+
+    env_steps_per_s = steps * num_envs / dt
+    dt_sim = 0.01
+    result = {
+        "metric": f"env-steps/s (position_setpoint_task, {num_envs} envs, "
+                  f"lee_attitude_control, {jax.default_backend()})",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "realtime_speedup": round(env_steps_per_s * dt_sim, 1),
+        "num_envs": num_envs,
+        "wall_s": round(dt, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

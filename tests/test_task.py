@@ -1,0 +1,69 @@
+"""Task API tests: gym tuple, crash/truncation/auto-reset semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aerial_gym_simulator_tpu as ag
+
+
+@pytest.fixture(scope="module")
+def task():
+    return ag.task_registry.make_task("position_setpoint_task", num_envs=16, seed=5)
+
+
+def test_reset_returns_gym_tuple(task):
+    obs, r, term, trunc, info = task.reset()
+    assert obs["observations"].shape == (16, 13)
+    assert r.shape == (16,) and term.shape == (16,) and trunc.shape == (16,)
+
+
+def test_obs_layout(task):
+    task.reset()
+    obs, *_ = task.step(jnp.zeros((16, 4)))
+    o = np.asarray(obs["observations"])
+    st = task.state
+    # [0:3] = target(0) - pos
+    np.testing.assert_allclose(o[:, 0:3], -np.asarray(st.pos), atol=1e-5)
+    np.testing.assert_allclose(o[:, 3:7], np.asarray(st.quat), atol=1e-5)
+
+
+def test_crash_beyond_8m(task):
+    task.reset()
+    st = task.state
+    task.state = st.replace(pos=st.pos.at[:, 0].set(20.0))
+    obs, r, term, trunc, info = task.step(jnp.zeros((16, 4)))
+    assert int(np.asarray(term).sum()) == 16
+    np.testing.assert_allclose(np.asarray(r), -20.0)
+    # auto-reset happened: new positions within bounds
+    assert np.abs(np.asarray(task.state.pos)).max() < 5.0
+
+
+def test_truncation_resets_steps(task):
+    task.reset()
+    st = task.state
+    task.state = st.replace(sim_steps=jnp.full_like(st.sim_steps, 1000))
+    obs, r, term, trunc, info = task.step(jnp.zeros((16, 4)))
+    assert int(np.asarray(trunc).sum()) == 16
+    assert int(np.asarray(task.state.sim_steps).max()) == 0
+
+
+def test_reward_increases_near_target(task):
+    task.reset()
+    st = task.state
+    near = st.replace(pos=jnp.full_like(st.pos, 0.05),
+                      linvel=jnp.zeros_like(st.linvel),
+                      angvel=jnp.zeros_like(st.angvel))
+    task.state = near
+    _, r_near, *_ = task.step(jnp.zeros((16, 4)))
+    st = task.state
+    far = st.replace(pos=jnp.full_like(st.pos, 3.0),
+                     linvel=jnp.zeros_like(st.linvel),
+                     angvel=jnp.zeros_like(st.angvel))
+    task.state = far
+    _, r_far, *_ = task.step(jnp.zeros((16, 4)))
+    assert float(r_near.mean()) > float(r_far.mean())
+
+
+def test_registry_listing():
+    assert "position_setpoint_task" in ag.task_registry.get_task_names()
