@@ -255,10 +255,21 @@ class PPOTrainer:
         return history
 
 
+def enable_compilation_cache(path: str = "/tmp/aerial_gym_tpu_jit_cache"):
+    """Persistent jit cache: repeat runs skip XLA compilation entirely."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax versions
+        logger.warning(f"compilation cache unavailable: {e}")
+
+
 def main():
     import argparse
 
     import aerial_gym_simulator_tpu as ag
+
+    enable_compilation_cache()
 
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="position_setpoint_task")
