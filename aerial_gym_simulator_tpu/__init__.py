@@ -13,6 +13,14 @@ tasks by name (same composition semantics as the reference's registry layer).
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU defaults f32 matmuls to bf16 MXU passes; physics/rendering rotation
+# math needs true f32 (0.2% bf16 error breaks trajectory parity). The
+# matmuls here are tiny 3x3 rotations and small MLPs — the MXU speed
+# difference is irrelevant; kernels that want bf16 opt in locally.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .registry.registries import (  # noqa: F401
     controller_registry,
     env_config_registry,

@@ -1,0 +1,233 @@
+"""Sensor configuration catalog.
+
+Parity with reference config/sensor_config/: depth cameras (base, RealSense
+D455, ToF ST VL53L5CX 8x8, stereo, normal/faceID), lidars (base OS0-128,
+OS0/OS1/OS2-64/128, OSDome, 2D scanner, fake radar cone), IMU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class SensorNoiseConfig:
+    enable_sensor_noise: bool = False
+    std_a: float = 0.00001
+    std_b: float = 0.00001
+    std_c: float = 0.00001
+    mean_offset: float = 0.0
+    pixel_dropout_prob: float = 0.01
+
+
+@dataclass
+class BaseDepthCameraConfig:
+    num_sensors: int = 1
+    sensor_type: str = "camera"
+    height: int = 135
+    width: int = 240
+    horizontal_fov_deg: float = 87.000
+    max_range: float = 10.0
+    min_range: float = 0.2
+    calculate_depth: bool = True
+    return_pointcloud: bool = False
+    pointcloud_in_world_frame: bool = False
+    segmentation_camera: bool = True
+    euler_frame_rot_deg: List[float] = field(default_factory=lambda: [-90.0, 0.0, -90.0])
+    normalize_range: bool = True
+    randomize_placement: bool = True
+    min_translation: List[float] = field(default_factory=lambda: [0.07, -0.06, 0.01])
+    max_translation: List[float] = field(default_factory=lambda: [0.12, 0.03, 0.04])
+    min_euler_rotation_deg: List[float] = field(default_factory=lambda: [-5.0, -5.0, -5.0])
+    max_euler_rotation_deg: List[float] = field(default_factory=lambda: [5.0, 5.0, 5.0])
+    nominal_position: List[float] = field(default_factory=lambda: [0.10, 0.0, 0.03])
+    nominal_orientation_euler_deg: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    sensor_noise: SensorNoiseConfig = field(default_factory=SensorNoiseConfig)
+    stereo_baseline: float = 0.0
+
+    @property
+    def far_out_of_range_value(self) -> float:
+        return self.max_range if self.normalize_range else -1.0
+
+    @property
+    def near_out_of_range_value(self) -> float:
+        return -self.max_range if self.normalize_range else -1.0
+
+
+@dataclass
+class NavDepthCameraConfig(BaseDepthCameraConfig):
+    """270x480 depth camera used by the navigation task (reference
+    navigation_task_config: VAE consumes 270x480)."""
+    height: int = 270
+    width: int = 480
+
+
+@dataclass
+class RsD455Config(BaseDepthCameraConfig):
+    """RealSense D455 (reference d455_depth_config.py)."""
+    height: int = 270
+    width: int = 480
+    horizontal_fov_deg: float = 87.0
+    max_range: float = 10.0
+    min_range: float = 0.2
+
+
+@dataclass
+class TofCameraConfig(BaseDepthCameraConfig):
+    """ST VL53L5CX 8x8 ToF array (reference lmf_tof_camera_config.py)."""
+    height: int = 8
+    width: int = 8
+    horizontal_fov_deg: float = 45.0
+    max_range: float = 4.0
+    min_range: float = 0.02
+
+
+@dataclass
+class StereoCameraConfig(BaseDepthCameraConfig):
+    """Stereo pair: right camera offset by baseline along sensor -y; returns
+    disparity-consistent depth (reference warp_stereo_camera_kernels.py)."""
+    height: int = 270
+    width: int = 480
+    stereo_baseline: float = 0.095
+
+
+@dataclass
+class BaseNormalFaceIDCameraConfig(BaseDepthCameraConfig):
+    """Returns surface normals + face (primitive) ids for dataset generation."""
+    segmentation_camera: bool = True
+    calculate_depth: bool = False
+
+
+@dataclass
+class BaseLidarConfig:
+    num_sensors: int = 1
+    sensor_type: str = "lidar"
+    height: int = 128                  # scan lines
+    width: int = 512                   # points per line
+    horizontal_fov_deg_min: float = -180.0
+    horizontal_fov_deg_max: float = 180.0
+    vertical_fov_deg_min: float = -45.0
+    vertical_fov_deg_max: float = 45.0
+    max_range: float = 10.0
+    min_range: float = 0.2
+    calculate_depth: bool = False      # lidar returns range, not depth
+    return_pointcloud: bool = False
+    pointcloud_in_world_frame: bool = False
+    segmentation_camera: bool = True
+    euler_frame_rot_deg: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    normalize_range: bool = True
+    randomize_placement: bool = True
+    min_translation: List[float] = field(default_factory=lambda: [0.07, -0.06, 0.01])
+    max_translation: List[float] = field(default_factory=lambda: [0.12, 0.03, 0.04])
+    min_euler_rotation_deg: List[float] = field(default_factory=lambda: [-5.0, -5.0, -5.0])
+    max_euler_rotation_deg: List[float] = field(default_factory=lambda: [5.0, 5.0, 5.0])
+    nominal_position: List[float] = field(default_factory=lambda: [0.10, 0.0, 0.03])
+    nominal_orientation_euler_deg: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=True, std_a=1e-5, std_b=1e-5, std_c=1e-5,
+            mean_offset=-0.05, pixel_dropout_prob=0.0))
+
+    @property
+    def far_out_of_range_value(self) -> float:
+        return self.max_range if self.normalize_range else -1.0
+
+    @property
+    def near_out_of_range_value(self) -> float:
+        return -self.max_range if self.normalize_range else -1.0
+
+
+@dataclass
+class LidarNavConfig(BaseLidarConfig):
+    """48x120 lidar used by the lidar navigation task
+    (reference lidar_navigation_task: min-pooled to 16x20)."""
+    height: int = 48
+    width: int = 120
+    vertical_fov_deg_min: float = -22.5
+    vertical_fov_deg_max: float = 22.5
+
+
+@dataclass
+class OS0_64Config(BaseLidarConfig):
+    height: int = 64
+    width: int = 512
+    vertical_fov_deg_min: float = -45.0
+    vertical_fov_deg_max: float = 45.0
+    max_range: float = 35.0
+
+
+@dataclass
+class OS0_128Config(BaseLidarConfig):
+    height: int = 128
+    width: int = 512
+    vertical_fov_deg_min: float = -45.0
+    vertical_fov_deg_max: float = 45.0
+    max_range: float = 35.0
+
+
+@dataclass
+class OS1_64Config(BaseLidarConfig):
+    height: int = 64
+    width: int = 512
+    vertical_fov_deg_min: float = -22.5
+    vertical_fov_deg_max: float = 22.5
+    max_range: float = 90.0
+
+
+@dataclass
+class OS2_128Config(BaseLidarConfig):
+    height: int = 128
+    width: int = 512
+    vertical_fov_deg_min: float = -11.25
+    vertical_fov_deg_max: float = 11.25
+    max_range: float = 240.0
+
+
+@dataclass
+class OSDome_64Config(BaseLidarConfig):
+    """Dome lidar: upper hemisphere (reference osdome_64_config.py)."""
+    height: int = 64
+    width: int = 512
+    vertical_fov_deg_min: float = 0.0
+    vertical_fov_deg_max: float = 90.0
+    max_range: float = 20.0
+
+
+@dataclass
+class FakeRadarConfig(BaseLidarConfig):
+    """Radar cone simulated via lidar-style rendering (reference
+    fake_radar_config.py / radar navigation task)."""
+    height: int = 32
+    width: int = 64
+    horizontal_fov_deg_min: float = -28.0
+    horizontal_fov_deg_max: float = 28.0
+    vertical_fov_deg_min: float = -14.0
+    vertical_fov_deg_max: float = 14.0
+    max_range: float = 15.0
+
+
+@dataclass
+class Lidar2DConfig(BaseLidarConfig):
+    """Planar 2D scanner (reference lidar_2d_config.py)."""
+    height: int = 1
+    width: int = 1024
+    vertical_fov_deg_min: float = 0.0
+    vertical_fov_deg_max: float = 0.0
+
+
+@dataclass
+class BaseImuConfig:
+    num_sensors: int = 1
+    sensor_type: str = "imu"
+    # reference imu_sensor.py noise model
+    accel_noise_std: List[float] = field(default_factory=lambda: [0.01, 0.01, 0.01])
+    gyro_noise_std: List[float] = field(default_factory=lambda: [0.001, 0.001, 0.001])
+    accel_bias_std: List[float] = field(default_factory=lambda: [0.0001, 0.0001, 0.0001])
+    gyro_bias_std: List[float] = field(default_factory=lambda: [1e-5, 1e-5, 1e-5])
+    max_measurement_acceleration: float = 156.96
+    max_measurement_angular_velocity: float = 34.9
+    world_frame: bool = False
+    gravity_compensation: bool = False

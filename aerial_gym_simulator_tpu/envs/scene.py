@@ -66,15 +66,20 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         variant_radius[v_idx] = model.bound_radius
         sem_counter += 1
 
-    # slots: one per asset instance per env
-    slots_min, slots_max, slots_keep, slots_sem, slot_type = [], [], [], [], []
+    # slots: one per asset instance per env. keep_in_env assets come FIRST
+    # so the curriculum's "first num_obstacles slots stay" culling never
+    # removes walls/panels (reference asset_loader.py:148-185 ordering +
+    # asset_manager.py:72 teleport).
+    slot_entries = []
     for t_idx, at in enumerate(asset_types):
         for _ in range(at.num_assets):
-            slots_min.append(at.min_state_ratio)
-            slots_max.append(at.max_state_ratio)
-            slots_keep.append(1.0 if at.keep_in_env else 0.0)
-            slots_sem.append(at.semantic_id)
-            slot_type.append(t_idx)
+            slot_entries.append((0 if at.keep_in_env else 1, t_idx, at))
+    slot_entries.sort(key=lambda s: s[0])
+    slots_min = [at.min_state_ratio for _, _, at in slot_entries]
+    slots_max = [at.max_state_ratio for _, _, at in slot_entries]
+    slots_keep = [1.0 if keep == 0 else 0.0 for keep, _, _ in slot_entries]
+    slots_sem = [at.semantic_id for _, _, at in slot_entries]
+    slot_type = [t_idx for _, t_idx, _ in slot_entries]
     A = len(slots_min)
 
     # random variant pick per (env, slot) — mirrors the reference's random
@@ -86,31 +91,48 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         env_asset_variant[:, a_idx] = rng.randint(lo, hi, size=num_envs)
 
     # ---- flattened per-env primitive soup --------------------------------
-    # count actual prims per variant
-    variant_nprims = [(prim_kind[v] >= 0).sum() for v in range(V)]
-    env_counts = [
-        int(sum(variant_nprims[env_asset_variant[e, a]] for a in range(A)))
-        for e in range(num_envs)
-    ] or [0]
-    P_env = max(max(env_counts), 1)
+    # Prims are SORTED BY KIND (box, cylinder, sphere) and padded per kind
+    # to the max count across envs: the Pallas ray-cast kernel then runs
+    # three branch-free loops with static bounds instead of per-prim
+    # dispatch. Padding prims are parked at CULL_POSITION with zero size.
+    per_env_by_kind = {k: [[] for _ in range(num_envs)] for k in range(3)}
+    for e in range(num_envs):
+        for a in range(A):
+            v = env_asset_variant[e, a]
+            for p in range(P):
+                k = int(prim_kind[v, p])
+                if k < 0:
+                    continue
+                per_env_by_kind[k][e].append(
+                    (a, prim_size[v, p], prim_pos[v, p], prim_rot[v, p],
+                     prim_semantic[v, p]))
+    kind_max = {k: max((len(per_env_by_kind[k][e]) for e in range(num_envs)),
+                       default=0) for k in range(3)}
+    P_env = max(sum(kind_max.values()), 1)
     ep_slot = np.zeros((num_envs, P_env), np.int32)
     ep_kind = -np.ones((num_envs, P_env), np.int32)
     ep_size = np.zeros((num_envs, P_env, 3), np.float32)
-    ep_pos = np.zeros((num_envs, P_env, 3), np.float32)
+    ep_pos = np.full((num_envs, P_env, 3), CULL_POSITION, np.float32)
     ep_rot = np.tile(np.eye(3, dtype=np.float32), (num_envs, P_env, 1, 1))
     ep_sem = np.zeros((num_envs, P_env), np.int32)
     for e in range(num_envs):
         c = 0
-        for a in range(A):
-            v = env_asset_variant[e, a]
-            n = int(variant_nprims[v])
-            ep_slot[e, c:c + n] = a
-            ep_kind[e, c:c + n] = prim_kind[v, :n]
-            ep_size[e, c:c + n] = prim_size[v, :n]
-            ep_pos[e, c:c + n] = prim_pos[v, :n]
-            ep_rot[e, c:c + n] = prim_rot[v, :n]
-            ep_sem[e, c:c + n] = prim_semantic[v, :n]
-            c += n
+        for k in range(3):
+            entries = per_env_by_kind[k][e]
+            for (a, sz, pp, pr, sm) in entries:
+                ep_slot[e, c] = a
+                ep_kind[e, c] = k
+                ep_size[e, c] = sz
+                ep_pos[e, c] = pp
+                ep_rot[e, c] = pr
+                ep_sem[e, c] = sm
+                c += 1
+            # padding entries for this kind (kind set so the pallas kernel's
+            # per-kind loop bounds stay valid; zero size at CULL_POSITION
+            # never hits)
+            for _ in range(kind_max[k] - len(entries)):
+                ep_kind[e, c] = k
+                c += 1
 
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return SceneParams(
@@ -134,6 +156,9 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         num_assets=A,
         max_prims=P,
         num_env_prims=P_env,
+        n_box=kind_max[0],
+        n_cyl=kind_max[1],
+        n_sph=kind_max[2],
     )
 
 
@@ -151,7 +176,6 @@ def reset_obstacles(params: SimParams, state: SimState, mask: jax.Array,
 
     k_pose = jax.vmap(jax.random.fold_in)(key, jnp.zeros((N,), jnp.uint32))
     k_half = jax.vmap(jax.random.fold_in)(key, jnp.ones((N,), jnp.uint32))
-    k_cull = jax.vmap(jax.random.fold_in)(key, jnp.full((N,), 2, jnp.uint32))
 
     ratios = rnglib.env_uniform(k_pose, sc.min_state_ratio, sc.max_state_ratio,
                                 (A, 13))
@@ -159,11 +183,15 @@ def reset_obstacles(params: SimParams, state: SimState, mask: jax.Array,
                             ratios[..., 0:3])
     quat = quat_from_euler_xyz_tensor(ratios[..., 3:6])
 
-    # density variation: Bernoulli(0.15) halves the active (non-kept) assets
-    half = rnglib.env_bernoulli(k_half, 0.15)[:, None]                  # (N,1)
-    cull_u = rnglib.env_uniform(k_cull, 0.0, 1.0, (A,))                 # (N,A)
-    keep = sc.keep_in_env[None, :]                                      # (1,A)
-    culled = (1.0 - keep) * half * (cull_u < 0.5).astype(jnp.float32)
+    # curriculum obstacle count: the first num_obstacles slots stay (keep_in_env
+    # slots are ordered first and never culled); with Bernoulli(0.15) an env
+    # gets half density this episode (reference env_manager.py:284-295)
+    n_keep = jnp.sum(sc.keep_in_env)
+    num = jnp.maximum(state.num_obstacles.astype(jnp.float32), n_keep)   # (N,)
+    half = rnglib.env_bernoulli(k_half, 0.15)                            # (N,)
+    num = jnp.where(half > 0, jnp.maximum(jnp.floor(num / 2.0), n_keep), num)
+    slot_idx = jnp.arange(A, dtype=jnp.float32)[None, :]                 # (1,A)
+    culled = (slot_idx >= num[:, None]).astype(jnp.float32) * (1.0 - sc.keep_in_env[None, :])
     pos = jnp.where(culled[..., None] > 0,
                     jnp.full_like(pos, CULL_POSITION), pos)
 

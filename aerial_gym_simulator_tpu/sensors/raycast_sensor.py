@@ -1,0 +1,269 @@
+"""Ray-cast sensor pipeline: pose composition, render, noise, normalization.
+
+Functional equivalent of the reference's WarpSensor facade + WarpCam /
+WarpLidar / WarpStereoCam (sensors/warp/): the CUDA-graph capture disappears
+— the render is just another op inside the jitted step. Covers:
+
+  * pinhole camera ray table from K^-1 (warp_cam.py:31-64),
+  * spherical lidar ray table (warp_lidar.py:40-64),
+  * sensor mounting randomization (warp_sensor.py:92-171),
+  * world-pose composition per step (warp_sensor.py:177-187),
+  * depth-vs-range projection, pointcloud modes, segmentation ids,
+  * quadratic range-dependent gaussian noise + pixel dropout
+    (warp_sensor.py:229-247), range clamping to out-of-range sentinels
+    (:202-220), max-range normalization (:222-226),
+  * stereo: right-eye render with baseline offset, min-disparity fusion
+    (warp_stereo_camera_kernels.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import raycast
+from ..sim.structs import RaySensorParams, SimParams, SimState
+from ..utils import rng as rnglib
+from ..utils.math import quat_from_euler_xyz, quat_mul, quat_rotate, tf_apply
+
+_f32 = lambda x: jnp.asarray(x, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# ray tables
+# ---------------------------------------------------------------------------
+
+
+def camera_ray_dirs(height: int, width: int, hfov_deg: float):
+    """Per-pixel unit dirs in the OPTICAL frame (z forward) via K^-1, and
+    the depth multiplier dot(rd, principal)."""
+    hfov = math.radians(hfov_deg)
+    fx = (width / 2.0) / math.tan(hfov / 2.0)
+    # VFOV from aspect ratio (reference base_depth_camera_config comment)
+    fy = fx
+    cx, cy = width / 2.0, height / 2.0
+    xs = np.arange(width, dtype=np.float32)
+    ys = np.arange(height, dtype=np.float32)
+    u = (xs[None, :] - cx) / fx                      # (1, W)
+    v = (ys[:, None] - cy) / fy                      # (H, 1)
+    dirs = np.stack([
+        np.broadcast_to(u, (height, width)),
+        np.broadcast_to(v, (height, width)),
+        np.ones((height, width), np.float32),
+    ], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    principal = np.array([0.0, 0.0, 1.0], np.float32)
+    mult = dirs @ principal
+    return _f32(dirs), _f32(mult)
+
+
+def lidar_ray_dirs(height: int, width: int, h_min: float, h_max: float,
+                   v_min: float, v_max: float):
+    """Spherical az/el table in the sensor frame (x forward), matching the
+    reference's scan ordering: +HFOV -> -HFOV, +VFOV -> -VFOV."""
+    h_min, h_max = math.radians(h_min), math.radians(h_max)
+    v_min, v_max = math.radians(v_min), math.radians(v_max)
+    j = np.arange(width, dtype=np.float32)
+    i = np.arange(height, dtype=np.float32)
+    az = h_max - (h_max - h_min) * (j / max(width - 1, 1))          # (W,)
+    el = v_max - (v_max - v_min) * (i / max(height - 1, 1))         # (H,)
+    azg = np.broadcast_to(az[None, :], (height, width))
+    elg = np.broadcast_to(el[:, None], (height, width))
+    dirs = np.stack([
+        np.cos(azg) * np.cos(elg),
+        np.sin(azg) * np.cos(elg),
+        np.sin(elg),
+    ], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    mult = np.ones((height, width), np.float32)
+    return _f32(dirs), _f32(mult)
+
+
+def build_ray_sensor_params(cfg) -> RaySensorParams:
+    """Compile a camera/lidar config into device params."""
+    if cfg.sensor_type == "camera":
+        dirs, mult = camera_ray_dirs(cfg.height, cfg.width, cfg.horizontal_fov_deg)
+        if not cfg.calculate_depth:
+            mult = jnp.ones_like(mult)
+    else:
+        dirs, mult = lidar_ray_dirs(cfg.height, cfg.width,
+                                    cfg.horizontal_fov_deg_min,
+                                    cfg.horizontal_fov_deg_max,
+                                    cfg.vertical_fov_deg_min,
+                                    cfg.vertical_fov_deg_max)
+    rot = np.radians(cfg.euler_frame_rot_deg)
+    data_quat = quat_from_euler_xyz(_f32(rot[0]), _f32(rot[1]), _f32(rot[2]))
+    noise = cfg.sensor_noise
+    return RaySensorParams(
+        dirs=dirs,
+        depth_multiplier=mult,
+        data_frame_quat=data_quat,
+        max_range=_f32(cfg.max_range),
+        min_range=_f32(cfg.min_range),
+        far_out_value=_f32(cfg.far_out_of_range_value),
+        near_out_value=_f32(cfg.near_out_of_range_value),
+        min_translation=_f32(cfg.min_translation),
+        max_translation=_f32(cfg.max_translation),
+        min_rotation=_f32(np.radians(cfg.min_euler_rotation_deg)),
+        max_rotation=_f32(np.radians(cfg.max_euler_rotation_deg)),
+        nominal_position=_f32(cfg.nominal_position),
+        nominal_rotation=_f32(np.radians(cfg.nominal_orientation_euler_deg)),
+        std_a=_f32(noise.std_a), std_b=_f32(noise.std_b), std_c=_f32(noise.std_c),
+        mean_offset=_f32(noise.mean_offset),
+        pixel_dropout_prob=_f32(noise.pixel_dropout_prob),
+        height=cfg.height, width=cfg.width,
+        sensor_type=cfg.sensor_type,
+        calculate_depth=cfg.calculate_depth,
+        return_pointcloud=cfg.return_pointcloud,
+        pointcloud_in_world_frame=cfg.pointcloud_in_world_frame,
+        segmentation_camera=cfg.segmentation_camera,
+        normalize_range=cfg.normalize_range,
+        enable_noise=noise.enable_sensor_noise,
+        randomize_placement=cfg.randomize_placement,
+        stereo_baseline=float(getattr(cfg, "stereo_baseline", 0.0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mount randomization (called from reset)
+# ---------------------------------------------------------------------------
+
+
+def sample_mount_pose(sp: RaySensorParams, subkeys):
+    """Per-env local mount pose (reference warp_sensor.py:92-127)."""
+    N = subkeys.shape[0]
+    if sp.randomize_placement:
+        k_t = jax.vmap(jax.random.fold_in)(subkeys, jnp.zeros((N,), jnp.uint32))
+        k_r = jax.vmap(jax.random.fold_in)(subkeys, jnp.ones((N,), jnp.uint32))
+        pos = rnglib.env_uniform(k_t, sp.min_translation, sp.max_translation, (3,))
+        eul = rnglib.env_uniform(k_r, sp.min_rotation, sp.max_rotation, (3,))
+    else:
+        pos = jnp.broadcast_to(sp.nominal_position, (N, 3))
+        eul = jnp.broadcast_to(sp.nominal_rotation, (N, 3))
+    quat = quat_from_euler_xyz(eul[..., 0], eul[..., 1], eul[..., 2])
+    return pos, quat
+
+
+# ---------------------------------------------------------------------------
+# render + postprocess
+# ---------------------------------------------------------------------------
+
+
+def sensor_world_pose(sp: RaySensorParams, state: SimState, mount_pos, mount_quat):
+    """Compose robot pose with the randomized mount and data-frame rotation
+    (reference warp_sensor.py:177-187)."""
+    pos = tf_apply(state.quat, state.pos, mount_pos)
+    quat = quat_mul(state.quat, quat_mul(mount_quat, sp.data_frame_quat))
+    return pos, quat
+
+
+def render(params: SimParams, state: SimState, sp: RaySensorParams,
+           mount_pos, mount_quat, noise_key=None):
+    """Full sensor capture -> (pixels, segmentation).
+
+    pixels: (N, H, W) depth/range image, or (N, H, W, 3) pointcloud.
+    segmentation: (N, H, W) int32 (NO_HIT -> -2) or None.
+    """
+    N = state.pos.shape[0]
+    H, W = sp.height, sp.width
+    R = H * W
+    pos_w, quat_w = sensor_world_pose(sp, state, mount_pos, mount_quat)
+
+    dirs_flat = sp.dirs.reshape(R, 3)
+    sc = params.scene
+    use_pallas = (jax.default_backend() == "tpu" and sc is not None
+                  and sc.num_env_prims > 0)
+
+    if sc is None or sc.num_env_prims == 0:
+        t = jnp.full((N, R), raycast.NO_HIT_RAY_VAL, jnp.float32)
+        sem = jnp.full((N, R), raycast.NO_HIT_SEGMENTATION_VAL, jnp.int32)
+        rd_world = None
+    elif use_pallas:
+        from ..ops import raycast_pallas as rp
+        ones = jnp.ones((R,), jnp.float32)
+        prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+        t, sem = rp.raycast_pallas(rp.pack_pose(pos_w, quat_w), prims,
+                                   dirs_flat, ones, sc.n_box, sc.n_cyl,
+                                   sc.n_sph, float(sp.max_range))
+        if sp.stereo_baseline > 0.0:
+            offset = quat_rotate(quat_w, jnp.broadcast_to(
+                jnp.array([-sp.stereo_baseline, 0.0, 0.0], jnp.float32), (N, 3)))
+            t_r, _ = rp.raycast_pallas(rp.pack_pose(pos_w + offset, quat_w),
+                                       prims, dirs_flat, ones, sc.n_box,
+                                       sc.n_cyl, sc.n_sph, float(sp.max_range))
+            t = jnp.maximum(t, t_r)
+        rd_world = None
+    else:
+        rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
+        t, sem = raycast.raycast_batched(sc, state.obstacle_pos,
+                                         state.obstacle_quat, pos_w, rd_world,
+                                         sp.max_range)
+        if sp.stereo_baseline > 0.0:
+            # right eye offset along sensor-frame -x; keep the farther hit
+            # (disparity-consistent far field, reference stereo kernels)
+            offset = quat_rotate(quat_w, jnp.broadcast_to(
+                jnp.array([-sp.stereo_baseline, 0.0, 0.0], jnp.float32), (N, 3)))
+            t_r, _ = raycast.raycast_batched(sc, state.obstacle_pos,
+                                             state.obstacle_quat, pos_w + offset,
+                                             rd_world, sp.max_range)
+            t = jnp.maximum(t, t_r)
+
+    mult = sp.depth_multiplier.reshape(R)
+    depth = (t * mult[None, :]).reshape(N, H, W)
+    sem_img = sem.reshape(N, H, W)
+
+    if sp.return_pointcloud:
+        if sp.pointcloud_in_world_frame:
+            if rd_world is None:
+                rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
+            pts = pos_w[:, None, :] + t[..., None] * rd_world
+        else:
+            pts = t[..., None] * dirs_flat[None, :, :]
+        pixels = pts.reshape(N, H, W, 3)
+    else:
+        pixels = depth
+
+    if sp.enable_noise and noise_key is not None:
+        pixels = apply_noise(sp, pixels, noise_key)
+
+    if not (sp.return_pointcloud and sp.pointcloud_in_world_frame):
+        pixels = apply_range_limits(sp, pixels)
+        if sp.normalize_range:
+            pixels = pixels / sp.max_range
+
+    return pixels, (sem_img if sp.segmentation_camera else None)
+
+
+def apply_noise(sp: RaySensorParams, pixels, noise_key):
+    """std = a*x^2 + b*x + c gaussian + dropout (warp_sensor.py:229-247)."""
+    k1, k2 = jax.random.split(noise_key)
+    std = sp.std_a * pixels**2 + sp.std_b * pixels + sp.std_c
+    noise = jax.random.normal(k1, pixels.shape, jnp.float32)
+    pixels = pixels - sp.mean_offset + std * noise
+    drop = jax.random.uniform(k2, pixels.shape) < sp.pixel_dropout_prob
+    return jnp.where(drop, sp.near_out_value, pixels)
+
+
+def apply_range_limits(sp: RaySensorParams, pixels):
+    if pixels.ndim == 4:  # pointcloud in sensor frame: clamp by norm
+        r = jnp.linalg.norm(pixels, axis=-1, keepdims=True)
+        pixels = jnp.where(r > sp.max_range, sp.far_out_value, pixels)
+        pixels = jnp.where(r < sp.min_range, sp.near_out_value, pixels)
+        return pixels
+    pixels = jnp.where(pixels > sp.max_range, sp.far_out_value, pixels)
+    pixels = jnp.where(pixels < sp.min_range, sp.near_out_value, pixels)
+    return pixels
+
+
+def render_camera(params: SimParams, state: SimState, noise_key=None):
+    return render(params, state, params.camera, state.cam_mount_pos,
+                  state.cam_mount_quat, noise_key)
+
+
+def render_lidar(params: SimParams, state: SimState, noise_key=None):
+    return render(params, state, params.lidar, state.lidar_mount_pos,
+                  state.lidar_mount_quat, noise_key)

@@ -317,6 +317,30 @@ def reset_envs(params: SimParams, state: SimState, mask: jax.Array) -> SimState:
     if params.scene is not None and params.scene.num_assets > 0:
         from ..envs.scene import reset_obstacles  # lazy import avoids cycle
         state = reset_obstacles(params, state, mask, k_extra)
+
+    # sensor mount re-randomization + IMU bias reset (reference
+    # env_manager.reset_idx -> sensor reset, warp_sensor.py:129-171)
+    mb = mask.astype(bool)
+    N = mask.shape[0]
+    if params.camera is not None:
+        from ..sensors.raycast_sensor import sample_mount_pose
+        kc = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 10, jnp.uint32))
+        mpos, mquat = sample_mount_pose(params.camera, kc)
+        state = state.replace(
+            cam_mount_pos=jnp.where(mb[:, None], mpos, state.cam_mount_pos),
+            cam_mount_quat=jnp.where(mb[:, None], mquat, state.cam_mount_quat))
+    if params.lidar is not None:
+        from ..sensors.raycast_sensor import sample_mount_pose
+        kl = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 11, jnp.uint32))
+        mpos, mquat = sample_mount_pose(params.lidar, kl)
+        state = state.replace(
+            lidar_mount_pos=jnp.where(mb[:, None], mpos, state.lidar_mount_pos),
+            lidar_mount_quat=jnp.where(mb[:, None], mquat, state.lidar_mount_quat))
+    if params.imu is not None:
+        zero3 = jnp.zeros((N, 3), jnp.float32)
+        state = state.replace(
+            imu_accel_bias=jnp.where(mb[:, None], zero3, state.imu_accel_bias),
+            imu_gyro_bias=jnp.where(mb[:, None], zero3, state.imu_gyro_bias))
     return state
 
 

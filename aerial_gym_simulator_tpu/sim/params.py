@@ -151,6 +151,29 @@ def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
                      robot_cfg: RobotConfig, ctrl_cfg: ControllerConfig,
                      num_envs: Optional[int] = None,
                      scene: Optional[SceneParams] = None) -> SimParams:
+    camera = lidar = imu = None
+    sens = robot_cfg.sensor_config
+    if getattr(sens, "enable_camera", False):
+        from ..config.sensor_config.sensor_configs import BaseDepthCameraConfig
+        from ..sensors.raycast_sensor import build_ray_sensor_params
+        cam_cfg = sens.camera_config or BaseDepthCameraConfig()
+        if isinstance(cam_cfg, type):
+            cam_cfg = cam_cfg()
+        camera = build_ray_sensor_params(cam_cfg)
+    if getattr(sens, "enable_lidar", False):
+        from ..config.sensor_config.sensor_configs import BaseLidarConfig
+        from ..sensors.raycast_sensor import build_ray_sensor_params
+        lidar_cfg = sens.lidar_config or BaseLidarConfig()
+        if isinstance(lidar_cfg, type):
+            lidar_cfg = lidar_cfg()
+        lidar = build_ray_sensor_params(lidar_cfg)
+    if getattr(sens, "enable_imu", False):
+        from ..config.sensor_config.sensor_configs import BaseImuConfig
+        from ..sensors.imu import build_imu_params
+        imu_cfg = sens.imu_config or BaseImuConfig()
+        if isinstance(imu_cfg, type):
+            imu_cfg = imu_cfg()
+        imu = build_imu_params(imu_cfg)
     return SimParams(
         dt=_f32(sim_cfg.dt),
         gravity=_f32(sim_cfg.gravity),
@@ -159,6 +182,9 @@ def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
         controller=build_controller_params(ctrl_cfg),
         env=build_env_params(env_cfg, num_envs),
         scene=scene,
+        camera=camera,
+        lidar=lidar,
+        imu=imu,
     )
 
 
@@ -168,23 +194,26 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
     M = params.motor.num_motors
     A = params.scene.num_assets if params.scene is not None else 0
     z = lambda *shape: jnp.zeros(shape, dtype=jnp.float32)
-    quat0 = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
+    # NOTE: every field gets its own freshly materialized array — the state
+    # pytree is donated on each step, and aliased/broadcast-view buffers
+    # would trip XLA's "donate the same buffer twice" check.
+    quat0 = lambda: jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
     cp = params.controller
-    mid = lambda lo, hi: jnp.broadcast_to((lo + hi) / 2.0, (N, 3))
+    mid = lambda lo, hi: jnp.tile(((lo + hi) / 2.0)[None, :], (N, 1))
     return SimState(
-        pos=z(N, 3), quat=quat0, linvel=z(N, 3), angvel=z(N, 3),
+        pos=z(N, 3), quat=quat0(), linvel=z(N, 3), angvel=z(N, 3),
         motor_thrust=z(N, M),
-        motor_tau_inc=jnp.broadcast_to(params.motor.tau_inc_min, (N, M)),
-        motor_tau_dec=jnp.broadcast_to(params.motor.tau_dec_min, (N, M)),
-        motor_thrust_constant=jnp.broadcast_to(
-            (params.motor.thrust_constant_min + params.motor.thrust_constant_max) / 2.0,
-            (N, M)),
+        motor_tau_inc=jnp.tile(params.motor.tau_inc_min[None, None], (N, M)),
+        motor_tau_dec=jnp.tile(params.motor.tau_dec_min[None, None], (N, M)),
+        motor_thrust_constant=jnp.tile(
+            ((params.motor.thrust_constant_min
+              + params.motor.thrust_constant_max) / 2.0)[None, None], (N, M)),
         K_pos=mid(cp.K_pos_min, cp.K_pos_max),
         K_vel=mid(cp.K_vel_min, cp.K_vel_max),
         K_rot=mid(cp.K_rot_min, cp.K_rot_max),
         K_angvel=mid(cp.K_angvel_min, cp.K_angvel_max),
-        bounds_lo=jnp.broadcast_to(params.env.lower_bound_min, (N, 3)),
-        bounds_hi=jnp.broadcast_to(params.env.upper_bound_min, (N, 3)),
+        bounds_lo=jnp.tile(params.env.lower_bound_min[None, :], (N, 1)),
+        bounds_hi=jnp.tile(params.env.upper_bound_min[None, :], (N, 1)),
         collisions=z(N), crashes=z(N), truncations=z(N),
         sim_steps=jnp.zeros((N,), jnp.int32),
         rng=rnglib.make_env_keys(seed, N),
@@ -193,4 +222,11 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
         obstacle_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, A, 1)),
         obstacle_linvel=z(N, A, 3),
         obstacle_angvel=z(N, A, 3),
+        cam_mount_pos=z(N, 3),
+        cam_mount_quat=quat0(),
+        lidar_mount_pos=z(N, 3),
+        lidar_mount_quat=quat0(),
+        imu_accel_bias=z(N, 3),
+        imu_gyro_bias=z(N, 3),
+        num_obstacles=jnp.full((N,), A, jnp.int32),
     )

@@ -133,6 +133,65 @@ class SceneParams:
     num_assets: int = struct.field(pytree_node=False, default=0)
     max_prims: int = struct.field(pytree_node=False, default=0)
     num_env_prims: int = struct.field(pytree_node=False, default=0)
+    # per-kind counts in the kind-sorted flattened arrays (box|cyl|sphere)
+    n_box: int = struct.field(pytree_node=False, default=0)
+    n_cyl: int = struct.field(pytree_node=False, default=0)
+    n_sph: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class RaySensorParams:
+    """Shared params for ray-cast exteroceptive sensors (camera & lidar).
+
+    dirs is the per-pixel unit ray table in the sensor's DATA frame
+    (pinhole via K^-1 for cameras, warp_cam.py:31-64; spherical az/el grid
+    for lidars, warp_lidar.py:40-64). depth_multiplier projects range on the
+    principal axis when calculate_depth (warp_camera_kernels.py:258-262).
+    """
+    dirs: jax.Array                      # (H, W, 3) unit dirs, sensor frame
+    depth_multiplier: jax.Array          # (H, W) dot(rd, rd_principal) or 1.0
+    data_frame_quat: jax.Array           # (4,) optical->body rotation
+    max_range: jax.Array
+    min_range: jax.Array
+    far_out_value: jax.Array
+    near_out_value: jax.Array
+    # mount randomization (reference warp_sensor.py:92-171)
+    min_translation: jax.Array           # (3,)
+    max_translation: jax.Array
+    min_rotation: jax.Array              # (3,) euler rad
+    max_rotation: jax.Array
+    nominal_position: jax.Array          # (3,)
+    nominal_rotation: jax.Array          # (3,) euler rad
+    # noise: std = a*x^2 + b*x + c, mean offset, dropout
+    std_a: jax.Array
+    std_b: jax.Array
+    std_c: jax.Array
+    mean_offset: jax.Array
+    pixel_dropout_prob: jax.Array
+    height: int = struct.field(pytree_node=False, default=0)
+    width: int = struct.field(pytree_node=False, default=0)
+    sensor_type: str = struct.field(pytree_node=False, default="camera")
+    calculate_depth: bool = struct.field(pytree_node=False, default=True)
+    return_pointcloud: bool = struct.field(pytree_node=False, default=False)
+    pointcloud_in_world_frame: bool = struct.field(pytree_node=False, default=False)
+    segmentation_camera: bool = struct.field(pytree_node=False, default=True)
+    normalize_range: bool = struct.field(pytree_node=False, default=True)
+    enable_noise: bool = struct.field(pytree_node=False, default=False)
+    randomize_placement: bool = struct.field(pytree_node=False, default=True)
+    stereo_baseline: float = struct.field(pytree_node=False, default=0.0)
+
+
+@struct.dataclass
+class ImuParams:
+    """IMU noise model (reference sensors/imu_sensor.py)."""
+    accel_noise_std: jax.Array           # (3,)
+    gyro_noise_std: jax.Array            # (3,)
+    accel_bias_std: jax.Array            # (3,) random-walk increment std
+    gyro_bias_std: jax.Array
+    max_accel: jax.Array
+    max_gyro: jax.Array
+    world_frame: bool = struct.field(pytree_node=False, default=False)
+    gravity_compensation: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -144,6 +203,9 @@ class SimParams:
     controller: ControllerParams
     env: EnvParams
     scene: Optional[SceneParams] = None
+    camera: Optional[RaySensorParams] = None
+    lidar: Optional[RaySensorParams] = None
+    imu: Optional[ImuParams] = None
 
 
 @struct.dataclass
@@ -182,6 +244,16 @@ class SimState:
     obstacle_quat: jax.Array             # (N, A, 4)
     obstacle_linvel: jax.Array           # (N, A, 3)
     obstacle_angvel: jax.Array           # (N, A, 3)
+    # sensor mount poses (randomized at reset; zeros when sensor disabled)
+    cam_mount_pos: jax.Array             # (N, 3)
+    cam_mount_quat: jax.Array            # (N, 4)
+    lidar_mount_pos: jax.Array           # (N, 3)
+    lidar_mount_quat: jax.Array          # (N, 4)
+    # IMU bias random-walk state
+    imu_accel_bias: jax.Array            # (N, 3)
+    imu_gyro_bias: jax.Array             # (N, 3)
+    # curriculum-controlled obstacle count (reference num_obstacles_in_env)
+    num_obstacles: jax.Array             # (N,) int32
 
     @property
     def num_envs(self) -> int:

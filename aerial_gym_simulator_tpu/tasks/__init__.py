@@ -9,7 +9,11 @@ def register_all():
         PositionSetpointTask,
         PositionSetpointTaskConfig,
     )
+    from .navigation_task import NavigationTask, NavigationTaskConfig
 
     task_registry.register_task(
         "position_setpoint_task", PositionSetpointTask, PositionSetpointTaskConfig
+    )
+    task_registry.register_task(
+        "navigation_task", NavigationTask, NavigationTaskConfig
     )

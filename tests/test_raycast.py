@@ -1,0 +1,159 @@
+"""Ray-cast core vs analytic intersections (SURVEY.md section 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerial_gym_simulator_tpu.ops import raycast as rc
+from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+    camera_ray_dirs,
+    lidar_ray_dirs,
+)
+
+
+def single_prim_env(kind, size, asset_pos, ro, rd):
+    """Cast rays against one primitive at asset_pos (identity rotations)."""
+    P = 1
+    t, sem = rc.raycast_env(
+        prim_kind=jnp.array([kind], jnp.int32),
+        prim_size=jnp.asarray([size], jnp.float32),
+        prim_pos=jnp.zeros((P, 3), jnp.float32),
+        prim_rot=jnp.tile(jnp.eye(3, dtype=jnp.float32), (P, 1, 1)),
+        prim_sem=jnp.array([7], jnp.int32),
+        prim_slot=jnp.zeros((P,), jnp.int32),
+        asset_pos=jnp.asarray([asset_pos], jnp.float32),
+        asset_quat=jnp.asarray([[0, 0, 0, 1.0]], jnp.float32),
+        ro=jnp.asarray(ro, jnp.float32),
+        rd=jnp.asarray(rd, jnp.float32),
+        max_range=100.0,
+    )
+    return np.asarray(t), np.asarray(sem)
+
+
+def test_ray_sphere_analytic():
+    # unit sphere at x=5, ray along +x from origin: t = 5 - 1 = 4
+    t, sem = single_prim_env(2, [1.0, 0, 0], [5.0, 0, 0], [0, 0, 0],
+                             [[1.0, 0, 0]])
+    np.testing.assert_allclose(t, [4.0], atol=1e-5)
+    assert sem[0] == 7
+
+
+def test_ray_box_analytic():
+    # 2x2x2 box at x=10: entry at x=9 -> t=9
+    t, _ = single_prim_env(0, [2.0, 2.0, 2.0], [10.0, 0, 0], [0, 0, 0],
+                           [[1.0, 0, 0]])
+    np.testing.assert_allclose(t, [9.0], atol=1e-5)
+
+
+def test_ray_box_miss():
+    t, sem = single_prim_env(0, [2.0, 2.0, 2.0], [10.0, 0, 0], [0, 0, 0],
+                             [[0.0, 1.0, 0]])
+    np.testing.assert_allclose(t, [rc.NO_HIT_RAY_VAL])
+    assert sem[0] == rc.NO_HIT_SEGMENTATION_VAL
+
+
+def test_ray_cylinder_side_and_cap():
+    # cylinder r=1, len=4, at origin; ray from (5,0,0) toward -x hits side at x=1
+    t, _ = single_prim_env(1, [1.0, 4.0, 0], [0, 0, 0], [5.0, 0, 0],
+                           [[-1.0, 0, 0]])
+    np.testing.assert_allclose(t, [4.0], atol=1e-5)
+    # ray from (0,0,5) downward hits top cap at z=2 -> t=3
+    t, _ = single_prim_env(1, [1.0, 4.0, 0], [0, 0, 0], [0, 0, 5.0],
+                           [[0, 0, -1.0]])
+    np.testing.assert_allclose(t, [3.0], atol=1e-5)
+
+
+def test_ray_from_inside_box():
+    # origin inside the box: exit distance
+    t, _ = single_prim_env(0, [4.0, 4.0, 4.0], [0, 0, 0], [0, 0, 0],
+                           [[1.0, 0, 0]])
+    np.testing.assert_allclose(t, [2.0], atol=1e-5)
+
+
+def test_nearest_of_two_prims():
+    t, sem = rc.raycast_env(
+        prim_kind=jnp.array([2, 2], jnp.int32),
+        prim_size=jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]], jnp.float32),
+        prim_pos=jnp.zeros((2, 3), jnp.float32),
+        prim_rot=jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1)),
+        prim_sem=jnp.array([1, 2], jnp.int32),
+        prim_slot=jnp.array([0, 1], jnp.int32),
+        asset_pos=jnp.asarray([[10.0, 0, 0], [5.0, 0, 0]], jnp.float32),
+        asset_quat=jnp.tile(jnp.asarray([[0, 0, 0, 1.0]], jnp.float32), (2, 1)),
+        ro=jnp.zeros((3,), jnp.float32),
+        rd=jnp.asarray([[1.0, 0, 0]], jnp.float32),
+        max_range=100.0,
+    )
+    np.testing.assert_allclose(np.asarray(t), [4.0], atol=1e-5)
+    assert int(sem[0]) == 2  # nearer sphere's id
+
+
+def test_rotated_asset():
+    # 4x1x1 box rotated 90deg about z at x=5: its long axis now spans y;
+    # a ray along +x hits the (now) 1-thick face at 4.5
+    q = jnp.asarray([0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)], jnp.float32)
+    t, _ = rc.raycast_env(
+        prim_kind=jnp.array([0], jnp.int32),
+        prim_size=jnp.asarray([[4.0, 1.0, 1.0]], jnp.float32),
+        prim_pos=jnp.zeros((1, 3), jnp.float32),
+        prim_rot=jnp.tile(jnp.eye(3, dtype=jnp.float32), (1, 1, 1)),
+        prim_sem=jnp.array([1], jnp.int32),
+        prim_slot=jnp.zeros((1,), jnp.int32),
+        asset_pos=jnp.asarray([[5.0, 0, 0]], jnp.float32),
+        asset_quat=q[None],
+        ro=jnp.zeros((3,), jnp.float32),
+        rd=jnp.asarray([[1.0, 0, 0]], jnp.float32),
+        max_range=100.0,
+    )
+    np.testing.assert_allclose(np.asarray(t), [4.5], atol=1e-4)
+
+
+def test_camera_ray_table_geometry():
+    dirs, mult = camera_ray_dirs(9, 16, 90.0)
+    d = np.asarray(dirs)
+    # center pixel looks along +z (optical axis) within half a pixel
+    c = d[4, 8]
+    assert np.degrees(np.arccos(np.clip(c[2], -1, 1))) < 5.0
+    # corner rays tilt at most HFOV/2 horizontally
+    assert np.all(np.abs(np.arctan2(d[..., 0], d[..., 2])) <= np.radians(46))
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # depth multiplier equals dir . principal
+    np.testing.assert_allclose(np.asarray(mult), d[..., 2], atol=1e-4)
+
+
+def test_lidar_ray_table_geometry():
+    dirs, _ = lidar_ray_dirs(3, 8, -180, 180, -30, 30)
+    d = np.asarray(dirs)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    # first scan line at +30 deg elevation
+    np.testing.assert_allclose(d[0, :, 2], np.sin(np.radians(30)), atol=1e-5)
+    # first azimuth at +180deg: direction -x
+    np.testing.assert_allclose(d[1, 0, 0], -np.cos(0.0), atol=1e-5)
+
+
+def test_full_camera_render_wall():
+    """End-to-end: robot in env_with_obstacles facing the front wall."""
+    import jax
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=2, seed=0)
+    st = env.state
+    # place robot at a known spot looking +x; front wall is at bounds x_max
+    st = st.replace(pos=jnp.asarray([[0.0, 0.0, 0.0]] * 2, jnp.float32),
+                    quat=jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (2, 1)),
+                    cam_mount_pos=jnp.zeros((2, 3), jnp.float32),
+                    cam_mount_quat=jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (2, 1)))
+    pixels, seg = render_camera(env.params, st)
+    pixels = np.asarray(pixels)
+    assert pixels.shape == (2, 135, 240)
+    # normalized range in [-1, 1]
+    assert pixels.max() <= 1.0 + 1e-5
+    # something visible (walls guaranteed within 10m ahead from x=0:
+    # upper bound x in [9, 10])
+    assert pixels.min() > -1.0 - 1e-5
+    center = pixels[:, 67, 120]
+    assert np.all(center > 0.0)  # wall ahead within range
+    assert seg is not None and seg.shape == (2, 135, 240)
