@@ -35,9 +35,8 @@ def run_dryrun(n_devices: int) -> None:
     rep_sh = NamedSharding(mesh, P())
 
     # shard: sim state + obs on env axis; learner replicated
-    obs_tuple = task.reset()
-    obs = jax.device_put(obs_tuple[0]["observations"], env_sh)
-    sim_state = jax.device_put(task.state, env_sh)
+    obs = jax.device_put(trainer.obs, env_sh)
+    sim_state = jax.device_put(trainer.env_carry, env_sh)
     train_state = jax.device_put(trainer.train_state, rep_sh)
     norm = jax.device_put(trainer.norm, rep_sh)
     key = jax.device_put(trainer.key, rep_sh)

@@ -25,9 +25,7 @@ import numpy as np
 import optax
 from flax.training.train_state import TrainState
 
-from ..sim import dynamics
 from ..sim.structs import SimParams, SimState
-from ..tasks.position_setpoint_task import task_step
 from ..utils.logging import CustomLogger
 from .networks import ActorCritic, gaussian_entropy, gaussian_logp, sample_action
 
@@ -86,28 +84,29 @@ class RunningMeanStd:
         return jnp.clip((x - s["mean"]) / jnp.sqrt(s["var"] + 1e-8), -5.0, 5.0)
 
 
-def make_train_step(params: SimParams, cfg: PPOConfig, episode_len: int,
-                    crash_dist: float):
-    """Build the single jitted train step:
-    (train_state, sim_state, obs, key, norm) -> (..., metrics)."""
+def make_train_step(step_fn, cfg: PPOConfig):
+    """Build the single jitted train step over ANY fused task step.
+
+    step_fn(carry, action) -> (carry, obs, reward, term, trunc)
+    where carry is the task's full state pytree (SimState, NavState, ...).
+    Signature: (train_state, carry, obs, key, norm) -> (..., metrics).
+    """
 
     N, T = cfg.num_envs, cfg.horizon
     batch = N * T
     n_minibatches = max(batch // cfg.minibatch_size, 1)
-    target = jnp.zeros((N, 3), jnp.float32)
 
     def env_step(carry, _):
-        ts, sim_state, obs, key, norm = carry
+        ts, env_carry, obs, key, norm = carry
         key, akey = jax.random.split(key)
         norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
         mean, log_std, value = ts.apply_fn(ts.params, norm_obs)
         action, logp = sample_action(mean, log_std, akey)
-        sim_state, next_obs, reward, term, trunc = task_step(
-            params, sim_state, action, target, episode_len, crash_dist, None)
+        env_carry, next_obs, reward, term, trunc = step_fn(env_carry, action)
         done = jnp.maximum(term, trunc)
         transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
                       done, term)
-        return (ts, sim_state, next_obs, key, norm), transition
+        return (ts, env_carry, next_obs, key, norm), transition
 
     def compute_gae(values, rewards, dones, last_value):
         # time-major (T, N)
@@ -139,10 +138,10 @@ def make_train_step(params: SimParams, cfg: PPOConfig, episode_len: int,
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
         return total, (pg_loss, v_loss, ent)
 
-    def train_step(ts: TrainState, sim_state: SimState, obs, key, norm):
+    def train_step(ts: TrainState, env_carry, obs, key, norm):
         # ---- rollout (scan over fused env step) --------------------------
-        (ts, sim_state, obs, key, norm), traj = jax.lax.scan(
-            env_step, (ts, sim_state, obs, key, norm), None, length=T)
+        (ts, env_carry, obs, key, norm), traj = jax.lax.scan(
+            env_step, (ts, env_carry, obs, key, norm), None, length=T)
         norm_obs_t, actions_t, logps_t, values_t, rewards_t, dones_t, terms_t = traj
 
         if cfg.normalize_obs:
@@ -191,7 +190,7 @@ def make_train_step(params: SimParams, cfg: PPOConfig, episode_len: int,
             "entropy": ent,
             "value_mean": values_t.mean(),
         }
-        return ts, sim_state, obs, key, norm, metrics
+        return ts, env_carry, obs, key, norm, metrics
 
     return train_step
 
@@ -219,9 +218,8 @@ class PPOTrainer:
         self.norm = RunningMeanStd.init(obs_dim)
         self.key = key
 
-        self.train_step_fn = make_train_step(
-            task.params, cfg, task.task_config.episode_len_steps,
-            task.task_config.crash_dist_threshold)
+        env_step_fn, self.env_carry, self.obs = task.make_step_fn()
+        self.train_step_fn = make_train_step(env_step_fn, cfg)
         self._train_step = jax.jit(self.train_step_fn, donate_argnums=(1,))
 
     def train(self, total_env_steps: Optional[int] = None, log_every: int = 10):
@@ -230,15 +228,14 @@ class PPOTrainer:
         steps_per_iter = cfg.num_envs * cfg.horizon
         iters = max(total // steps_per_iter, 1)
 
-        obs_tuple = self.task.reset()
-        obs = obs_tuple[0]["observations"]
-        sim_state = self.task.state
+        obs = self.obs
+        env_carry = self.env_carry
 
         history = []
         t_start = time.perf_counter()
         for it in range(iters):
-            (self.train_state, sim_state, obs, self.key, self.norm,
-             metrics) = self._train_step(self.train_state, sim_state, obs,
+            (self.train_state, env_carry, obs, self.key, self.norm,
+             metrics) = self._train_step(self.train_state, env_carry, obs,
                                          self.key, self.norm)
             if it % log_every == 0 or it == iters - 1:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -251,7 +248,10 @@ class PPOTrainer:
                     f"it {it:4d} steps {m['env_steps']:.2e} "
                     f"reward {m['reward_mean']:7.3f} crash {m['crash_rate']:.3f} "
                     f"sps {m['env_steps_per_s']:.0f} wall {m['wall_s']:.1f}s")
-        self.task.sim_env.state = sim_state
+        self.env_carry = env_carry
+        self.obs = obs
+        if hasattr(self.task, "set_carry"):
+            self.task.set_carry(env_carry)
         return history
 
 

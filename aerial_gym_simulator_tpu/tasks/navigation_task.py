@@ -386,3 +386,19 @@ class NavigationTask:
     def get_return_tuple(self):
         return (self.task_obs, self.rewards, self.terminations,
                 self.truncations, self.infos)
+
+    def make_step_fn(self):
+        """PPO protocol: (step_fn, init_carry, init_obs)."""
+        nav_step = make_nav_step(self.params, self.task_config, self.vae)
+
+        def step_fn(ns, action):
+            ns, obs, reward, term, trunc, _infos = nav_step(ns, action)
+            return ns, obs, reward, term, trunc
+
+        zero_obs = jnp.zeros(
+            (self.num_envs, self.task_config.observation_space_dim), jnp.float32)
+        return step_fn, self.nav_state, zero_obs
+
+    def set_carry(self, carry):
+        self.nav_state = carry
+        self.sim_env.state = carry.sim

@@ -160,6 +160,25 @@ class PositionSetpointTask:
                          self.task_config.episode_len_steps,
                          self.task_config.crash_dist_threshold, n_substeps)
 
+    def make_step_fn(self):
+        """PPO protocol: (step_fn, init_carry, init_obs).
+
+        step_fn(carry, action) -> (carry, obs, reward, term, trunc)."""
+        params = self.params
+        target = self.target_position
+        episode_len = self.task_config.episode_len_steps
+        crash_dist = self.task_config.crash_dist_threshold
+
+        def step_fn(state, action):
+            return task_step(params, state, action, target, episode_len,
+                             crash_dist, None)
+
+        self.reset()
+        return step_fn, self.state, self.task_obs["observations"]
+
+    def set_carry(self, carry):
+        self.sim_env.state = carry
+
     # -- gym API ------------------------------------------------------------
     def close(self):
         self.sim_env.delete_env()
