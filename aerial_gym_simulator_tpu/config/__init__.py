@@ -29,6 +29,10 @@ def register_all():
         ControllerConfig,
         NoControlConfig,
         lee_controller_config,
+        lmf2_controller_config,
+        magpie_controller_config,
+        octarotor_controller_config,
+        rov_fully_actuated_controller_config,
     )
 
     sim_config_registry.register("base_sim", BaseSimConfig)
@@ -58,3 +62,29 @@ def register_all():
             name, (lambda n: (lambda: lee_controller_config(n)))(name)
         )
     controller_registry.register("no_control", NoControlConfig)
+
+    # robot-specific gain sets, "{robot}_{mode}_control" like the reference's
+    # register_robot_controllers (control/__init__.py:61-99)
+    def _register_robot_family(robot, factory):
+        for mode in ("position", "velocity", "attitude", "rates", "acceleration"):
+            base = f"lee_{mode}_control"
+            controller_registry.register(
+                f"{robot}_{mode}_control",
+                (lambda f, b: (lambda: _with_base(f, b)))(factory, base),
+            )
+
+    def _with_base(factory, base):
+        cfg = factory(base)
+        cfg.base_controller = base
+        return cfg
+
+    _register_robot_family("magpie", magpie_controller_config)
+    _register_robot_family("lmf2", lmf2_controller_config)
+    _register_robot_family("octarotor", octarotor_controller_config)
+
+    def _rov_ctrl():
+        cfg = rov_fully_actuated_controller_config()
+        cfg.base_controller = "fully_actuated_control"
+        return cfg
+
+    controller_registry.register("rov_fully_actuated_control", _rov_ctrl)

@@ -96,6 +96,33 @@ class InitConfig:
 
 
 @dataclass
+class ReconfigurationConfig:
+    """Joint (DOF) config for reconfigurable robots (reference
+    snakey/morphy *_config.py `reconfiguration_config`)."""
+    dof_mode: str = "position"           # "position" | "velocity" | "effort"
+    arm_response: str = "pd"             # "pd" | "morphy"
+    # rows: [position state, velocity state] per DOF
+    init_state_min: List[List[float]] = field(default_factory=lambda: [[], []])
+    init_state_max: List[List[float]] = field(default_factory=lambda: [[], []])
+    stiffness: List[float] = field(default_factory=list)
+    damping: List[float] = field(default_factory=list)
+    # Morphy custom arm response (reference morphy_config.py:85-89)
+    custom_nonlinear_stiffness: float = 0.0
+    custom_linear_damping: float = 0.0
+    # decoupled-joint integration parameters (this framework's articulation
+    # approximation; not present in the reference which delegates to PhysX)
+    dof_inertia: List[float] = field(default_factory=list)   # default 1e-3 each
+    lower_limit: List[float] = field(default_factory=list)   # default -pi
+    upper_limit: List[float] = field(default_factory=list)   # default +pi
+    max_velocity: float = 20.0
+    max_effort: float = 50.0
+
+    @property
+    def num_dofs(self) -> int:
+        return len(self.init_state_min[0])
+
+
+@dataclass
 class RobotAssetConfig:
     asset_folder: str = ""
     file: str = "quad.urdf"

@@ -1,10 +1,14 @@
 """Robot catalog: named robot configurations.
 
-Parity targets (reference config/robot_config/*.py): base_quadrotor (+ camera
-/ lidar / imu / stereo variants), octarotor, root-link-control quad, random
-configuration, lmf1/lmf2, x500, tinyprop, snakey family, morphy, ROV.
-Mass properties come from the procedural URDFs generated from each robot's
-allocation geometry.
+Parity with the reference robot-config catalog
+(reference config/robot_config/*.py): base_quadrotor (+ camera / lidar /
+imu / stereo variants), base_quad_root_link_control, base_octarotor,
+base_random, lmf1, lmf2 (+ radar variant), x500, tinyprop, magpie,
+snakey / snakey5 / snakey6, morphy (+ stiff variant), base_rov.
+Allocation matrices, motor-model constants, DOF configurations and
+disturbance settings mirror the reference config values (data parity);
+mass properties come from the procedural URDFs generated from each robot's
+allocation geometry unless overridden.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ from .base_quad_config import (
     DisturbanceConfig,
     InitConfig,
     MotorModelConfig,
+    ReconfigurationConfig,
     RobotAssetConfig,
     RobotConfig,
     SensorEnableConfig,
@@ -57,6 +62,8 @@ def base_quadrotor_with_lidar() -> RobotConfig:
 def base_quadrotor_with_stereo_camera() -> RobotConfig:
     cfg = RobotConfig(name="base_quadrotor_with_stereo_camera")
     cfg.sensor_config.enable_camera = True
+    from ..sensor_config.sensor_configs import StereoCameraConfig
+    cfg.sensor_config.camera_config = StereoCameraConfig()
     return cfg
 
 
@@ -67,96 +74,295 @@ def base_quadrotor_root_link_control() -> RobotConfig:
     return cfg
 
 
-def _ring_allocation(num_motors: int, arm: float, cq: float, directions):
-    """Planar ring of z-thrust motors -> 6 x M allocation matrix."""
-    alloc = np.zeros((6, num_motors))
-    for i in range(num_motors):
-        ang = 2.0 * math.pi * i / num_motors + math.pi / num_motors
-        x, y = arm * math.cos(ang), arm * math.sin(ang)
-        alloc[2, i] = 1.0
-        alloc[3, i] = y
-        alloc[4, i] = -x
-        alloc[5, i] = -cq * directions[i]
-    return alloc.tolist()
+# ---------------------------------------------------------------------------
+# 8-motor cube arrangement shared by base_octarotor / base_rov
+# (reference base_octarotor_config.py / base_rov_config.py allocation data)
+# ---------------------------------------------------------------------------
+
+_CUBE_ALLOCATION = [
+    [-0.78867513, 0.21132487, -0.21132487, 0.78867513,
+     0.78867513, -0.21132487, 0.21132487, -0.78867513],
+    [0.21132487, 0.78867513, -0.78867513, -0.21132487,
+     -0.21132487, -0.78867513, 0.78867513, 0.21132487],
+    [0.57735027, -0.57735027, -0.57735027, 0.57735027,
+     0.57735027, -0.57735027, -0.57735027, 0.57735027],
+    [0.14226497, -0.21547005, 0.25773503, 0.01547005,
+     -0.01547005, -0.25773503, 0.21547005, -0.14226497],
+    [-0.25773503, 0.01547005, 0.14226497, 0.21547005,
+     -0.21547005, -0.14226497, -0.01547005, 0.25773503],
+    [0.11547005, -0.23094010, -0.11547005, 0.23094010,
+     -0.23094010, 0.11547005, 0.23094010, -0.11547005],
+]
+
+
+def _motors(use_rps=True, kt_min=0.00000926312, kt_max=0.00001826312,
+            tau_inc=(0.04, 0.04), tau_dec=(0.04, 0.04), max_thrust=2.0,
+            min_thrust=0.0, max_rate=100000.0, cq=0.01) -> MotorModelConfig:
+    return MotorModelConfig(
+        use_rps=use_rps,
+        motor_thrust_constant_min=kt_min,
+        motor_thrust_constant_max=kt_max,
+        motor_time_constant_increasing_min=tau_inc[0],
+        motor_time_constant_increasing_max=tau_inc[1],
+        motor_time_constant_decreasing_min=tau_dec[0],
+        motor_time_constant_decreasing_max=tau_dec[1],
+        max_thrust=max_thrust,
+        min_thrust=min_thrust,
+        max_thrust_rate=max_rate,
+        thrust_to_torque_ratio=cq,
+    )
 
 
 def base_octarotor() -> RobotConfig:
-    """8-motor ring (reference base_octarotor_config.py)."""
-    directions = [1, -1, 1, -1, 1, -1, 1, -1]
+    """reference base_octarotor_config.py — 8 reversible-thrust motors in a
+    cube arrangement (fully actuated)."""
     ca = ControlAllocatorConfig(
         num_motors=8,
-        application_mask=list(range(5, 13)),
-        motor_directions=directions,
-        allocation_matrix=_ring_allocation(8, 0.38, 0.01, directions),
+        application_mask=[9, 10, 11, 12, 13, 14, 15, 16],
+        motor_directions=[1, -1, 1, -1, 1, -1, 1, -1],
+        allocation_matrix=[row[:] for row in _CUBE_ALLOCATION],
+        motor_model_config=_motors(use_rps=False, tau_inc=(0.01, 0.03),
+                                   tau_dec=(0.005, 0.005),
+                                   max_thrust=6.25, min_thrust=-6.25),
     )
-    ca.motor_model_config.max_thrust = 6.0
-    cfg = RobotConfig(name="base_octarotor", control_allocator_config=ca)
-    return cfg
+    return RobotConfig(name="base_octarotor", control_allocator_config=ca)
+
+
+def base_rov() -> RobotConfig:
+    """reference base_rov_config.py — fully-actuated underwater ROV (BlueROV):
+    same cube allocation, reversible thrusters, body-frame hydrodynamic drag."""
+    ca = ControlAllocatorConfig(
+        num_motors=8,
+        application_mask=[9, 10, 11, 12, 13, 14, 15, 16],
+        motor_directions=[1, -1, 1, -1, 1, -1, 1, -1],
+        allocation_matrix=[row[:] for row in _CUBE_ALLOCATION],
+        motor_model_config=_motors(use_rps=False, tau_inc=(0.01, 0.03),
+                                   tau_dec=(0.005, 0.005),
+                                   max_thrust=6.25, min_thrust=-6.25),
+    )
+    damping = DampingConfig(
+        linvel_linear_damping_coefficient=[1.0, 1.0, 1.0],
+        linvel_quadratic_damping_coefficient=[1.0, 1.0, 1.0],
+        angular_linear_damping_coefficient=[1.0, 1.0, 1.0],
+        angular_quadratic_damping_coefficient=[1.0, 1.0, 1.0],
+    )
+    asset = RobotAssetConfig(name="base_rov", file="rov.urdf",
+                             # neutrally buoyant vehicle: buoyancy cancels
+                             # gravity (reference simulates the ROV without a
+                             # net weight term)
+                             disable_gravity=True)
+    return RobotConfig(name="base_rov", control_allocator_config=ca,
+                       damping=damping, robot_asset=asset)
 
 
 def base_random() -> RobotConfig:
-    """Randomized-configuration multirotor (reference base_random_config.py):
-    an 8-motor machine with a full-rank but non-planar allocation, used to
-    exercise arbitrary allocation matrices."""
-    rng = np.random.RandomState(11)
-    directions = [1, -1, 1, -1, 1, -1, 1, -1]
-    alloc = np.zeros((6, 8))
-    for i in range(8):
-        ang = 2.0 * math.pi * i / 8.0
-        arm = 0.2 + 0.1 * rng.rand()
-        x, y = arm * math.cos(ang), arm * math.sin(ang)
-        alloc[2, i] = 1.0
-        alloc[3, i] = y
-        alloc[4, i] = -x
-        alloc[5, i] = -0.01 * directions[i]
-        alloc[0, i] = 0.05 * rng.randn()
-        alloc[1, i] = 0.05 * rng.randn()
+    """reference base_random_config.py — randomized 8-motor configuration
+    with a full-rank non-planar allocation matrix (exact reference data)."""
+    alloc = [
+        [0.0, -0.32139380, -0.45451948, -0.34202014, 0.96984631, 0.34202014,
+         0.86602540, -0.75440651],
+        [1.0, -0.34202014, -0.70710678, 0.0, -0.17364818, 0.93969262,
+         0.5, -0.17364818],
+        [0.0, -0.88302222, 0.54167522, 0.93969262, 0.17101007, 0.0,
+         0.0, 0.63302222],
+        [0.175, 0.12379421, -0.05698246, 0.13497813, 0.03370456, -0.26652790,
+         -0.07883756, -0.02068857],
+        [0.01, 0.27884609, -0.04328758, -0.27205882, -0.19778905, 0.08637059,
+         0.15654904, -0.17126442],
+        [0.28248558, -0.14174521, -0.08585113, 0.03849494, -0.33346877,
+         0.08367133, 0.00847402, -0.08743303],
+    ]
     ca = ControlAllocatorConfig(
         num_motors=8,
-        application_mask=list(range(5, 13)),
-        motor_directions=directions,
-        allocation_matrix=alloc.tolist(),
+        application_mask=[9, 10, 11, 12, 13, 14, 15, 16],
+        motor_directions=[-1, 1, -1, 1, -1, 1, -1, 1],
+        allocation_matrix=alloc,
+        motor_model_config=_motors(use_rps=False, tau_inc=(0.01, 0.03),
+                                   tau_dec=(0.005, 0.005),
+                                   max_thrust=5.0, min_thrust=-5.0),
     )
     return RobotConfig(name="base_random", control_allocator_config=ca)
 
 
-def _x_quad(name: str, arm: float, max_thrust: float, mass_scale: float = 1.0,
-            cq: float = 0.01) -> RobotConfig:
-    d = [1, -1, 1, -1]
-    s = arm / math.sqrt(2.0)
+# ---------------------------------------------------------------------------
+# named quadrotors (reference lmf1/lmf2/x500/tinyprop/magpie configs)
+# ---------------------------------------------------------------------------
+
+
+def _quad(name, tx, ty, tz, directions, motors: MotorModelConfig,
+          application_mask=None) -> RobotConfig:
     alloc = [
-        [0.0] * 4,
-        [0.0] * 4,
-        [1.0] * 4,
-        [-s, -s, s, s],
-        [-s, s, s, -s],
-        [-cq, cq, -cq, cq],
+        [0.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 1.0, 1.0, 1.0],
+        list(tx), list(ty), list(tz),
     ]
-    ca = ControlAllocatorConfig(num_motors=4,
-                                application_mask=[5, 6, 7, 8],
-                                motor_directions=d,
-                                allocation_matrix=alloc)
-    ca.motor_model_config.max_thrust = max_thrust
+    ca = ControlAllocatorConfig(
+        num_motors=4,
+        application_mask=application_mask or [5, 6, 7, 8],
+        motor_directions=list(directions),
+        allocation_matrix=alloc,
+        motor_model_config=motors,
+    )
     return RobotConfig(name=name, control_allocator_config=ca)
 
 
 def lmf1() -> RobotConfig:
-    return _x_quad("lmf1", arm=0.26, max_thrust=9.0)
+    return _quad("lmf1",
+                 [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
+                 [-0.05, 0.05, -0.05, 0.05], [1, 1, -1, -1],
+                 _motors(kt_min=5.487e-6, kt_max=5.487e-6,
+                         tau_inc=(0.025, 0.025), tau_dec=(0.025, 0.025),
+                         max_thrust=20.0, cq=0.05),
+                 application_mask=[4, 1, 3, 2])
 
 
 def lmf2() -> RobotConfig:
-    return _x_quad("lmf2", arm=0.29, max_thrust=10.0)
+    return _quad("lmf2",
+                 [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
+                 [-0.07, 0.07, -0.07, 0.07], [1, -1, 1, -1],
+                 _motors(tau_inc=(0.05, 0.08), tau_dec=(0.005, 0.005),
+                         max_thrust=10.0, min_thrust=0.1, cq=0.07))
+
+
+def lmf2_radar() -> RobotConfig:
+    """reference lmf2_radar_config.py — lmf2 with a fake-radar cone sensor."""
+    cfg = lmf2()
+    cfg.name = "lmf2_radar"
+    cfg.sensor_config.enable_lidar = True
+    from ..sensor_config.sensor_configs import FakeRadarConfig
+    cfg.sensor_config.lidar_config = FakeRadarConfig()
+    return cfg
 
 
 def x500() -> RobotConfig:
-    return _x_quad("x500", arm=0.25, max_thrust=8.5)
+    return _quad("x500",
+                 [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
+                 [-0.025, 0.025, -0.025, 0.025], [1, 1, -1, -1],
+                 _motors(kt_min=8.54858e-6, kt_max=8.54858e-6,
+                         tau_inc=(0.0125, 0.0125), tau_dec=(0.025, 0.025),
+                         max_thrust=20.0, cq=0.025),
+                 application_mask=[4, 1, 3, 2])
 
 
 def tinyprop() -> RobotConfig:
-    cfg = _x_quad("tinyprop", arm=0.06, max_thrust=0.6)
-    cfg.control_allocator_config.motor_model_config.motor_thrust_constant_min = 2e-7
-    cfg.control_allocator_config.motor_model_config.motor_thrust_constant_max = 4e-7
+    return _quad("tinyprop",
+                 [-0.16, -0.16, 0.16, 0.16], [-0.16, 0.16, 0.16, -0.16],
+                 [-0.01, 0.01, -0.01, 0.01], [1, -1, 1, -1],
+                 _motors(kt_min=1.286412e-5, kt_max=1.286412e-5,
+                         tau_inc=(0.047, 0.047), tau_dec=(0.047, 0.047),
+                         max_thrust=1.2, min_thrust=0.2))
+
+
+def magpie() -> RobotConfig:
+    return _quad("magpie",
+                 [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
+                 [-0.02, 0.02, -0.02, 0.02], [1, -1, 1, -1],
+                 _motors(tau_inc=(0.01, 0.02), tau_dec=(0.005, 0.015),
+                         max_thrust=12.0, min_thrust=0.1,
+                         max_rate=1000000.0, cq=0.02))
+
+
+# ---------------------------------------------------------------------------
+# reconfigurable robots (joint DOFs; reference snakey/morphy configs)
+# ---------------------------------------------------------------------------
+
+
+def _snakey_dofs(num_segments: int) -> ReconfigurationConfig:
+    """Snakey joint config: 2 DOFs (yaw bend + pitch bend) per inter-segment
+    joint, velocity drive mode (reference snakey_config.py:50-74)."""
+    d = 2 * num_segments
+    return ReconfigurationConfig(
+        dof_mode="velocity",
+        init_state_min=[[-math.pi / 2.0, -0.3] * num_segments, [-0.1] * d],
+        init_state_max=[[math.pi / 2.0, 0.3] * num_segments, [0.1] * d],
+        stiffness=[0.0] * d,
+        damping=[10.0] * d,
+        dof_inertia=[1e-3] * d,
+        lower_limit=[-math.pi / 2.0, -0.5] * num_segments,
+        upper_limit=[math.pi / 2.0, 0.5] * num_segments,
+    )
+
+
+def snakey() -> RobotConfig:
+    """reference snakey_config.py — 4-motor articulated serpent drone with
+    3 joint pairs (6 DOFs), velocity-mode joint drives."""
+    cfg = _quad("snakey",
+                [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
+                [0.01, -0.01, 0.01, -0.01], [-1, 1, -1, 1],
+                _motors(use_rps=False, tau_inc=(0.005, 0.005),
+                        tau_dec=(0.005, 0.005), max_thrust=15.0),
+                application_mask=[14, 13, 12, 11])
+    cfg.dof_config = _snakey_dofs(3)
+    cfg.disturbance.enable_disturbance = True
+    cfg.init_config.min_init_state = [0.1, 0.1, 0.1, 0.0, 0.0, -math.pi, 1.0,
+                                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.init_config.max_init_state = [0.3, 0.9, 0.9, 0.0, 0.0, math.pi, 1.0,
+                                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
     return cfg
+
+
+def _snakey_n(name: str, num_motors: int) -> RobotConfig:
+    """snakey5/snakey6: one z-thrust motor per segment; the reference uses a
+    placeholder all-ones allocation (snakey5_config.py:198) because forces
+    are applied per motor link — mirrored here as data parity."""
+    ca = ControlAllocatorConfig(
+        num_motors=num_motors,
+        application_mask=list(range(14, 14 + num_motors))[::-1],
+        motor_directions=[(-1) ** (i + 1) for i in range(num_motors)],
+        allocation_matrix=[[1.0] * num_motors for _ in range(6)],
+        motor_model_config=_motors(use_rps=False, tau_inc=(0.005, 0.005),
+                                   tau_dec=(0.005, 0.005), max_thrust=15.0),
+    )
+    cfg = RobotConfig(name=name, control_allocator_config=ca)
+    cfg.dof_config = _snakey_dofs(num_motors - 1)
+    cfg.disturbance.enable_disturbance = True
+    return cfg
+
+
+def snakey5() -> RobotConfig:
+    return _snakey_n("snakey5", 5)
+
+
+def snakey6() -> RobotConfig:
+    return _snakey_n("snakey6", 6)
+
+
+def _morphy_base(name: str) -> RobotConfig:
+    return _quad(name,
+                 [-0.0785, -0.0785, 0.0785, 0.0785],
+                 [-0.0785, 0.0785, 0.0785, -0.0785],
+                 [0.01, -0.01, 0.01, -0.01], [-1, 1, -1, 1],
+                 _motors(use_rps=False, tau_inc=(0.01, 0.03),
+                         tau_dec=(0.005, 0.005), max_thrust=2.0),
+                 application_mask=[3, 6, 9, 12])
+
+
+def morphy() -> RobotConfig:
+    """reference morphy_config.py — quadrotor with 4 passive flexible arms
+    (2 DOFs each), custom nonlinear spring-damper arm response."""
+    cfg = _morphy_base("morphy")
+    cfg.dof_config = ReconfigurationConfig(
+        dof_mode="effort",
+        arm_response="morphy",
+        init_state_min=[[-0.1] * 8, [-0.05] * 8],
+        init_state_max=[[0.1] * 8, [0.05] * 8],
+        stiffness=[0.2, 1.0] * 4,
+        damping=[0.025, 0.02] * 4,
+        custom_nonlinear_stiffness=-5834.0,
+        custom_linear_damping=-230.0,
+        # passive arm: inertia of the 16.25 g arm mass at 7 cm
+        dof_inertia=[0.01625 * 0.07 * 0.07] * 8,
+        lower_limit=[-math.pi / 4] * 8,
+        upper_limit=[math.pi / 4] * 8,
+    )
+    cfg.disturbance.enable_disturbance = False
+    return cfg
+
+
+def morphy_stiff() -> RobotConfig:
+    """reference morphy_stiff_config.py — morphy with rigid (fixed) arms."""
+    return _morphy_base("morphy_stiff")
 
 
 def register_robots(robot_registry):
@@ -169,8 +375,16 @@ def register_robots(robot_registry):
                             base_quadrotor_with_stereo_camera)
     robot_registry.register("base_quad_root_link_control", base_quadrotor_root_link_control)
     robot_registry.register("base_octarotor", base_octarotor)
+    robot_registry.register("base_rov", base_rov)
     robot_registry.register("base_random", base_random)
     robot_registry.register("lmf1", lmf1)
     robot_registry.register("lmf2", lmf2)
+    robot_registry.register("lmf2_radar", lmf2_radar)
     robot_registry.register("x500", x500)
     robot_registry.register("tinyprop", tinyprop)
+    robot_registry.register("magpie", magpie)
+    robot_registry.register("snakey", snakey)
+    robot_registry.register("snakey5", snakey5)
+    robot_registry.register("snakey6", snakey6)
+    robot_registry.register("morphy", morphy)
+    robot_registry.register("morphy_stiff", morphy_stiff)

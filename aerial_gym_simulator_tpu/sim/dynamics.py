@@ -131,7 +131,9 @@ def integrate_rigid_body(params: SimParams, state: SimState,
     dt = params.dt
 
     force_w = quat_rotate(state.quat, force_b)
-    accel = force_w / rp.mass + params.gravity
+    accel = force_w / rp.mass
+    if not rp.disable_gravity:  # asset disable_gravity flag (reference cfg)
+        accel = accel + params.gravity
     linvel = state.linvel + dt * accel
     linvel = linvel * jnp.maximum(0.0, 1.0 - rp.linear_damping * dt)
     speed = jnp.linalg.norm(linvel, axis=-1, keepdims=True)
@@ -153,6 +155,57 @@ def integrate_rigid_body(params: SimParams, state: SimState,
     quat = quat_integrate(state.quat, angvel, dt)
 
     return state.replace(pos=pos, quat=quat, linvel=linvel, angvel=angvel)
+
+
+# ---------------------------------------------------------------------------
+# DOF joint dynamics (reconfigurable robots; replaces PhysX articulation DOFs)
+# ---------------------------------------------------------------------------
+
+
+def integrate_dofs(params: SimParams, state: SimState) -> SimState:
+    """One substep of decoupled joint dynamics J*qdd = tau.
+
+    tau by drive mode (reference robot_manager.py:441-468 drive-mode setup +
+    base_reconfigurable.call_arm_controller):
+      position:  tau = Kp*(q_target - q) - Kd*qd            (engine PD drive)
+      velocity:  tau = Kd*(qd_target - qd)                  (engine vel drive)
+      effort+pd: tau = Kp*(q_target - q) + Kd*(qd_target - qd)
+      effort+morphy: nonlinear spring-damper + gravity torque on the arm
+                     (morphy.py:28-53 constants)
+    """
+    dp = params.dof
+    q, qd = state.dof_pos, state.dof_vel
+    # Decompose torque as  tau = spring(q) + damp * (vel_ref - qd)  and
+    # integrate the damping term IMPLICITLY (PhysX drives are solved
+    # implicitly inside the TGS solver; explicit damping would be unstable
+    # whenever dt*Kd/J > 2, which holds for the reference's gain sets).
+    if dp.dof_mode in ("position", "velocity") or dp.arm_response != "morphy":
+        # engine PD drive / robot-level PD effort (same math; velocity mode
+        # has Kp=0 in the reference configs, position mode has vel_ref=0)
+        spring = dp.stiffness * (state.dof_pos_target - q)
+        vel_ref = (jnp.zeros_like(qd) if dp.dof_mode == "position"
+                   else state.dof_vel_target)
+        damp = dp.damping
+    else:
+        # Morphy arm: mass 0.01625 kg at 0.07 m, rest angle 7.2 deg
+        # (morphy.py:33-45); linear_damping is negative => damping torque
+        e = q - 7.2 * jnp.pi / 180.0
+        A = 0.01625 * (0.07 * 0.07)
+        spring = A * dp.nonlinear_stiffness * jnp.sign(e) * e * e \
+            - 9.81 * 0.01625 * 0.07 * jnp.cos(q)
+        vel_ref = jnp.zeros_like(qd)
+        damp = -A * dp.linear_damping
+
+    spring = jnp.clip(spring, -dp.max_effort, dp.max_effort)
+    dt = params.dt
+    J = dp.dof_inertia
+    qd = (qd + dt * (spring + damp * vel_ref) / J) / (1.0 + dt * damp / J)
+    qd = jnp.clip(qd, -dp.max_velocity, dp.max_velocity)
+    q = q + dt * qd
+    q_clamped = jnp.clip(q, dp.lower_limit, dp.upper_limit)
+    # zero out joint velocity where the limit clamps (inelastic stop)
+    qd = jnp.where(q == q_clamped, qd, 0.0)
+    return state.replace(dof_pos=q_clamped, dof_vel=qd)
 
 
 # ---------------------------------------------------------------------------
@@ -198,6 +251,8 @@ def _substep(params: SimParams, state: SimState, action: jax.Array,
     state = state.replace(rng=rng, motor_thrust=new_thrust,
                           applied_force_b=force_b, applied_torque_b=torque_b)
     state = integrate_rigid_body(params, state, force_b, torque_b)
+    if params.dof is not None and params.dof.num_dofs > 0:
+        state = integrate_dofs(params, state)
     if params.scene is not None and params.scene.num_assets > 0:
         from ..envs.scene import integrate_obstacles
         state = integrate_obstacles(params, state)
@@ -296,6 +351,19 @@ def sample_reset_states(params: SimParams, state: SimState):
         K_pos=K_pos, K_vel=K_vel, K_rot=K_rot, K_angvel=K_angvel,
         bounds_lo=bounds_lo, bounds_hi=bounds_hi,
     )
+
+    # joint init sampling (reference base_reconfigurable.reset_idx:55-60)
+    if params.dof is not None and params.dof.num_dofs > 0:
+        dp = params.dof
+        kq = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 20, jnp.uint32))
+        kqd = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 21, jnp.uint32))
+        D = dp.num_dofs
+        fresh["dof_pos"] = rnglib.env_uniform(kq, dp.init_pos_min,
+                                              dp.init_pos_max, (D,))
+        fresh["dof_vel"] = rnglib.env_uniform(kqd, dp.init_vel_min,
+                                              dp.init_vel_max, (D,))
+        fresh["dof_pos_target"] = jnp.zeros((N, D), jnp.float32)
+        fresh["dof_vel_target"] = jnp.zeros((N, D), jnp.float32)
     return fresh, rng, k_extra
 
 

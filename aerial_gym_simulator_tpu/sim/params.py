@@ -110,6 +110,7 @@ def build_robot_params(robot_cfg: RobotConfig) -> RobotParams:
         max_torque_disturbance=_f32(dist.max_force_and_torque_disturbance[3:6]),
         enable_disturbance=dist.enable_disturbance,
         force_application_level=robot_cfg.control_allocator_config.force_application_level,
+        disable_gravity=asset.disable_gravity,
     )
 
 
@@ -126,8 +127,40 @@ def build_controller_params(ctrl_cfg: ControllerConfig) -> ControllerParams:
         max_yaw_rate=_f32(ctrl_cfg.max_yaw_rate),
         max_inclination_angle=_f32(ctrl_cfg.max_inclination_angle_rad),
         randomize_params=ctrl_cfg.randomize_params,
-        name=ctrl_cfg.name,
+        name=(getattr(ctrl_cfg, "base_controller", "") or ctrl_cfg.name),
         num_actions=ctrl_cfg.num_actions,
+    )
+
+
+def build_dof_params(robot_cfg: RobotConfig):
+    """DofParams from the robot's ReconfigurationConfig (None when rigid)."""
+    rc = robot_cfg.dof_config
+    if rc is None:
+        return None
+    D = rc.num_dofs
+    if D == 0:
+        return None
+    from .structs import DofParams
+    inertia = rc.dof_inertia if rc.dof_inertia else [1e-3] * D
+    lower = rc.lower_limit if rc.lower_limit else [-np.pi] * D
+    upper = rc.upper_limit if rc.upper_limit else [np.pi] * D
+    return DofParams(
+        stiffness=_f32(rc.stiffness),
+        damping=_f32(rc.damping),
+        init_pos_min=_f32(rc.init_state_min[0]),
+        init_pos_max=_f32(rc.init_state_max[0]),
+        init_vel_min=_f32(rc.init_state_min[1]),
+        init_vel_max=_f32(rc.init_state_max[1]),
+        dof_inertia=_f32(inertia),
+        lower_limit=_f32(lower),
+        upper_limit=_f32(upper),
+        max_velocity=_f32([rc.max_velocity] * D),
+        max_effort=_f32([rc.max_effort] * D),
+        nonlinear_stiffness=_f32(rc.custom_nonlinear_stiffness),
+        linear_damping=_f32(rc.custom_linear_damping),
+        dof_mode=rc.dof_mode,
+        arm_response=rc.arm_response,
+        num_dofs=D,
     )
 
 
@@ -181,6 +214,7 @@ def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
         motor=build_motor_params(robot_cfg),
         controller=build_controller_params(ctrl_cfg),
         env=build_env_params(env_cfg, num_envs),
+        dof=build_dof_params(robot_cfg),
         scene=scene,
         camera=camera,
         lidar=lidar,
@@ -193,6 +227,7 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
     N = params.env.num_envs
     M = params.motor.num_motors
     A = params.scene.num_assets if params.scene is not None else 0
+    D = params.dof.num_dofs if params.dof is not None else 0
     z = lambda *shape: jnp.zeros(shape, dtype=jnp.float32)
     # NOTE: every field gets its own freshly materialized array — the state
     # pytree is donated on each step, and aliased/broadcast-view buffers
@@ -229,4 +264,6 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
         imu_accel_bias=z(N, 3),
         imu_gyro_bias=z(N, 3),
         num_obstacles=jnp.full((N,), A, jnp.int32),
+        dof_pos=z(N, D), dof_vel=z(N, D),
+        dof_pos_target=z(N, D), dof_vel_target=z(N, D),
     )

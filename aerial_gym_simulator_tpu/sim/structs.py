@@ -83,6 +83,38 @@ class RobotParams:
     max_torque_disturbance: jax.Array    # (3,)
     enable_disturbance: bool = struct.field(pytree_node=False, default=False)
     force_application_level: str = struct.field(pytree_node=False, default="motor_link")
+    disable_gravity: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class DofParams:
+    """Joint (DOF) dynamics for reconfigurable robots.
+
+    The reference drives PhysX articulation DOFs in position/velocity/effort
+    mode (base_reconfigurable.py:63-77; robot_manager.py:441-468 sets the
+    drive mode); Morphy overrides the effort response with a nonlinear
+    spring-damper (morphy.py:28-53). Here each DOF is integrated as a
+    decoupled 1-DoF second-order system J*qdd = tau (engine-drive PD or
+    custom effort), which reproduces the observable joint state/response
+    without a full articulated-body solver.
+    """
+    stiffness: jax.Array                 # (D,) Kp (engine drive or robot PD)
+    damping: jax.Array                   # (D,) Kd
+    init_pos_min: jax.Array              # (D,)
+    init_pos_max: jax.Array
+    init_vel_min: jax.Array
+    init_vel_max: jax.Array
+    dof_inertia: jax.Array               # (D,) effective joint inertia
+    lower_limit: jax.Array               # (D,)
+    upper_limit: jax.Array
+    max_velocity: jax.Array              # (D,)
+    max_effort: jax.Array
+    # Morphy custom arm response constants (morphy.py:33-45)
+    nonlinear_stiffness: jax.Array       # scalar
+    linear_damping: jax.Array            # scalar
+    dof_mode: str = struct.field(pytree_node=False, default="position")
+    arm_response: str = struct.field(pytree_node=False, default="pd")  # or "morphy"
+    num_dofs: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -202,6 +234,7 @@ class SimParams:
     motor: MotorParams
     controller: ControllerParams
     env: EnvParams
+    dof: Optional[DofParams] = None
     scene: Optional[SceneParams] = None
     camera: Optional[RaySensorParams] = None
     lidar: Optional[RaySensorParams] = None
@@ -254,6 +287,13 @@ class SimState:
     imu_gyro_bias: jax.Array             # (N, 3)
     # curriculum-controlled obstacle count (reference num_obstacles_in_env)
     num_obstacles: jax.Array             # (N,) int32
+    # joint states for reconfigurable robots; (N, 0) when the robot is rigid.
+    # Targets mirror the reference's dof_position/velocity_setpoint_tensor
+    # (base_reconfigurable.py:44-53) and are written by tasks from actions.
+    dof_pos: jax.Array                   # (N, D)
+    dof_vel: jax.Array                   # (N, D)
+    dof_pos_target: jax.Array            # (N, D)
+    dof_vel_target: jax.Array            # (N, D)
 
     @property
     def num_envs(self) -> int:
