@@ -17,7 +17,7 @@ def register_all():
         SimConfig2Ms,
         SimConfig4Ms,
     )
-    from .env_config.base_env_config import EmptyEnvConfig
+    from .env_config.base_env_config import EmptyEnvConfig, EmptyEnv2MsConfig
     from .env_config.obstacle_envs import (
         DynamicEnvironmentConfig,
         EnvWithObstaclesConfig,
@@ -42,6 +42,7 @@ def register_all():
     sim_config_registry.register("base_sim_no_gravity", BaseSimNoGravityConfig)
 
     env_config_registry.register("empty_env", EmptyEnvConfig)
+    env_config_registry.register("empty_env_2ms", EmptyEnv2MsConfig)
     env_config_registry.register("env_with_obstacles", EnvWithObstaclesConfig)
     env_config_registry.register("env_with_lidar_nav_obstacles", LidarNavObstaclesConfig)
     env_config_registry.register("forest_env", ForestEnvConfig)
