@@ -255,12 +255,18 @@ def tinyprop() -> RobotConfig:
 
 
 def magpie() -> RobotConfig:
-    return _quad("magpie",
-                 [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
-                 [-0.02, 0.02, -0.02, 0.02], [1, -1, 1, -1],
-                 _motors(tau_inc=(0.01, 0.02), tau_dec=(0.005, 0.015),
-                         max_thrust=12.0, min_thrust=0.1,
-                         max_rate=1000000.0, cq=0.02))
+    """reference magpie_config.py — quad with a Robosense Airy dome lidar
+    (48x120 world-frame pointcloud) enabled by default."""
+    cfg = _quad("magpie",
+                [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
+                [-0.02, 0.02, -0.02, 0.02], [1, -1, 1, -1],
+                _motors(tau_inc=(0.01, 0.02), tau_dec=(0.005, 0.015),
+                        max_thrust=12.0, min_thrust=0.1,
+                        max_rate=1000000.0, cq=0.02))
+    cfg.sensor_config.enable_lidar = True
+    from ..sensor_config.sensor_configs import RSLidarAiryConfig
+    cfg.sensor_config.lidar_config = RSLidarAiryConfig()
+    return cfg
 
 
 # ---------------------------------------------------------------------------

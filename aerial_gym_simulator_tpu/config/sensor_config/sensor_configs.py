@@ -197,16 +197,40 @@ class OSDome_64Config(BaseLidarConfig):
 
 
 @dataclass
+class RSLidarAiryConfig(BaseLidarConfig):
+    """Robosense Airy dome lidar, 48x120 world-frame pointcloud (reference
+    rslidar_airy_config.py; used by the magpie robot / lidar nav task)."""
+    height: int = 48
+    width: int = 120
+    horizontal_fov_deg_min: float = -180.0
+    horizontal_fov_deg_max: float = 180.0
+    vertical_fov_deg_min: float = 0.0
+    vertical_fov_deg_max: float = 90.0
+    max_range: float = 10.0
+    min_range: float = 0.2
+    return_pointcloud: bool = True
+    pointcloud_in_world_frame: bool = True
+    segmentation_camera: bool = False
+    normalize_range: bool = False
+
+
+@dataclass
 class FakeRadarConfig(BaseLidarConfig):
     """Radar cone simulated via lidar-style rendering (reference
-    fake_radar_config.py / radar navigation task)."""
-    height: int = 32
-    width: int = 64
-    horizontal_fov_deg_min: float = -28.0
-    horizontal_fov_deg_max: float = 28.0
-    vertical_fov_deg_min: float = -14.0
-    vertical_fov_deg_max: float = 14.0
-    max_range: float = 15.0
+    fake_radar_config.py: 48x120 rays over a +-60 deg cone, world-frame
+    pointcloud consumed by the radar navigation task)."""
+    height: int = 48
+    width: int = 120
+    horizontal_fov_deg_min: float = -60.0
+    horizontal_fov_deg_max: float = 60.0
+    vertical_fov_deg_min: float = -60.0
+    vertical_fov_deg_max: float = 60.0
+    max_range: float = 10.0
+    min_range: float = 0.2
+    return_pointcloud: bool = True
+    pointcloud_in_world_frame: bool = True
+    segmentation_camera: bool = False
+    normalize_range: bool = False
 
 
 @dataclass

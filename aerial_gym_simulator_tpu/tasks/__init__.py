@@ -44,3 +44,15 @@ def register_all():
     task_registry.register_task(
         "position_setpoint_task_morphy", PositionSetpointTaskVariant,
         MorphyConfig)
+
+    from .lidar_navigation_task import (
+        LidarNavigationTaskConfig,
+        LiDARNavigationTask,
+        RadarNavigationTask,
+        RadarNavigationTaskConfig,
+    )
+
+    task_registry.register_task(
+        "lidar_navigation_task", LiDARNavigationTask, LidarNavigationTaskConfig)
+    task_registry.register_task(
+        "radar_navigation_task", RadarNavigationTask, RadarNavigationTaskConfig)
