@@ -125,7 +125,9 @@ def base_octarotor() -> RobotConfig:
                                    tau_dec=(0.005, 0.005),
                                    max_thrust=6.25, min_thrust=-6.25),
     )
-    return RobotConfig(name="base_octarotor", control_allocator_config=ca)
+    return _mass_props(RobotConfig(name="base_octarotor",
+                                   control_allocator_config=ca),
+                       1.1, [0.096, 0.096, 0.096])
 
 
 def base_rov() -> RobotConfig:
@@ -146,13 +148,13 @@ def base_rov() -> RobotConfig:
         angular_linear_damping_coefficient=[1.0, 1.0, 1.0],
         angular_quadratic_damping_coefficient=[1.0, 1.0, 1.0],
     )
-    asset = RobotAssetConfig(name="base_rov", file="rov.urdf",
-                             # neutrally buoyant vehicle: buoyancy cancels
-                             # gravity (reference simulates the ROV without a
-                             # net weight term)
-                             disable_gravity=True)
-    return RobotConfig(name="base_rov", control_allocator_config=ca,
-                       damping=damping, robot_asset=asset)
+    # gravity stays ON (reference base_rov_config.py:75); the controller's
+    # gravity-compensation term plays the buoyancy role, exactly like the
+    # reference's FullyActuatedController (fully_actuated_control.py:26)
+    asset = RobotAssetConfig(name="base_rov", file="rov.urdf")
+    return _mass_props(RobotConfig(name="base_rov", control_allocator_config=ca,
+                                   damping=damping, robot_asset=asset),
+                       1.1, [0.096, 0.096, 0.096])
 
 
 def base_random() -> RobotConfig:
@@ -181,12 +183,26 @@ def base_random() -> RobotConfig:
                                    tau_dec=(0.005, 0.005),
                                    max_thrust=5.0, min_thrust=-5.0),
     )
-    return RobotConfig(name="base_random", control_allocator_config=ca)
+    return _mass_props(RobotConfig(name="base_random",
+                                   control_allocator_config=ca),
+                       0.25, [0.00285, 0.00359, 0.00348])
 
 
 # ---------------------------------------------------------------------------
 # named quadrotors (reference lmf1/lmf2/x500/tinyprop/magpie configs)
 # ---------------------------------------------------------------------------
+
+
+def _mass_props(cfg: RobotConfig, mass: float, inertia_diag) -> RobotConfig:
+    """Override mass properties with the reference URDF aggregates (the
+    reference computes these from PhysX body properties via the
+    parallel-axis theorem, robot_manager.py:295-435; values here are the
+    same aggregation done over resources/robots/<name>/*.urdf)."""
+    cfg.robot_asset.mass = mass
+    cfg.robot_asset.inertia = [[inertia_diag[0], 0.0, 0.0],
+                               [0.0, inertia_diag[1], 0.0],
+                               [0.0, 0.0, inertia_diag[2]]]
+    return cfg
 
 
 def _quad(name, tx, ty, tz, directions, motors: MotorModelConfig,
@@ -208,21 +224,21 @@ def _quad(name, tx, ty, tz, directions, motors: MotorModelConfig,
 
 
 def lmf1() -> RobotConfig:
-    return _quad("lmf1",
+    return _mass_props(_quad("lmf1",
                  [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
                  [-0.05, 0.05, -0.05, 0.05], [1, 1, -1, -1],
                  _motors(kt_min=5.487e-6, kt_max=5.487e-6,
                          tau_inc=(0.025, 0.025), tau_dec=(0.025, 0.025),
                          max_thrust=20.0, cq=0.05),
-                 application_mask=[4, 1, 3, 2])
+                 application_mask=[4, 1, 3, 2]), 1.235, [0.0134, 0.0134, 0.0138])
 
 
 def lmf2() -> RobotConfig:
-    return _quad("lmf2",
+    return _mass_props(_quad("lmf2",
                  [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
                  [-0.07, 0.07, -0.07, 0.07], [1, -1, 1, -1],
                  _motors(tau_inc=(0.05, 0.08), tau_dec=(0.005, 0.005),
-                         max_thrust=10.0, min_thrust=0.1, cq=0.07))
+                         max_thrust=10.0, min_thrust=0.1, cq=0.07)), 1.240, [0.0134, 0.0134, 0.0138])
 
 
 def lmf2_radar() -> RobotConfig:
@@ -236,22 +252,22 @@ def lmf2_radar() -> RobotConfig:
 
 
 def x500() -> RobotConfig:
-    return _quad("x500",
+    return _mass_props(_quad("x500",
                  [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
                  [-0.025, 0.025, -0.025, 0.025], [1, 1, -1, -1],
                  _motors(kt_min=8.54858e-6, kt_max=8.54858e-6,
                          tau_inc=(0.0125, 0.0125), tau_dec=(0.025, 0.025),
                          max_thrust=20.0, cq=0.025),
-                 application_mask=[4, 1, 3, 2])
+                 application_mask=[4, 1, 3, 2]), 1.656, [0.02165, 0.02165, 0.02941])
 
 
 def tinyprop() -> RobotConfig:
-    return _quad("tinyprop",
+    return _mass_props(_quad("tinyprop",
                  [-0.16, -0.16, 0.16, 0.16], [-0.16, 0.16, 0.16, -0.16],
                  [-0.01, 0.01, -0.01, 0.01], [1, -1, 1, -1],
                  _motors(kt_min=1.286412e-5, kt_max=1.286412e-5,
                          tau_inc=(0.047, 0.047), tau_dec=(0.047, 0.047),
-                         max_thrust=1.2, min_thrust=0.2))
+                         max_thrust=1.2, min_thrust=0.2)), 0.373, [0.00293, 0.00293, 0.00426])
 
 
 def magpie() -> RobotConfig:
@@ -266,7 +282,7 @@ def magpie() -> RobotConfig:
     cfg.sensor_config.enable_lidar = True
     from ..sensor_config.sensor_configs import RSLidarAiryConfig
     cfg.sensor_config.lidar_config = RSLidarAiryConfig()
-    return cfg
+    return _mass_props(cfg, 1.240, [0.0134, 0.0134, 0.0138])
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +321,7 @@ def snakey() -> RobotConfig:
                                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
     cfg.init_config.max_init_state = [0.3, 0.9, 0.9, 0.0, 0.0, math.pi, 1.0,
                                       0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    return cfg
+    return _mass_props(cfg, 1.225, [0.00169, 1.533, 1.533])
 
 
 def _snakey_n(name: str, num_motors: int) -> RobotConfig:
@@ -323,7 +339,9 @@ def _snakey_n(name: str, num_motors: int) -> RobotConfig:
     cfg = RobotConfig(name=name, control_allocator_config=ca)
     cfg.dof_config = _snakey_dofs(num_motors - 1)
     cfg.disturbance.enable_disturbance = True
-    return cfg
+    mass = {5: (1.531, [0.00211, 3.065, 3.065]),
+            6: (1.8375, [0.00253, 5.362, 5.362])}[num_motors]
+    return _mass_props(cfg, mass[0], mass[1])
 
 
 def snakey5() -> RobotConfig:
@@ -335,13 +353,14 @@ def snakey6() -> RobotConfig:
 
 
 def _morphy_base(name: str) -> RobotConfig:
-    return _quad(name,
+    return _mass_props(_quad(name,
                  [-0.0785, -0.0785, 0.0785, 0.0785],
                  [-0.0785, 0.0785, 0.0785, -0.0785],
                  [0.01, -0.01, 0.01, -0.01], [-1, 1, -1, 1],
                  _motors(use_rps=False, tau_inc=(0.01, 0.03),
                          tau_dec=(0.005, 0.005), max_thrust=2.0),
-                 application_mask=[3, 6, 9, 12])
+                 application_mask=[3, 6, 9, 12]),
+                       0.29, [0.00074, 0.00077, 0.00059])
 
 
 def morphy() -> RobotConfig:

@@ -222,6 +222,46 @@ class PPOTrainer:
         self.train_step_fn = make_train_step(env_step_fn, cfg)
         self._train_step = jax.jit(self.train_step_fn, donate_argnums=(1,))
 
+    def save_checkpoint(self, path: str):
+        """Serialize network params + obs-normalizer state (reference analog:
+        rl-games --checkpoint save, runner.py:202-206)."""
+        import pickle
+
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            pickle.dump({
+                "params": serialization.to_bytes(self.train_state.params),
+                "norm": {k: np.asarray(v) for k, v in self.norm.items()},
+                "cfg": self.cfg.__dict__,
+            }, f)
+        logger.info(f"checkpoint saved to {path}")
+
+    def load_checkpoint(self, path: str):
+        import pickle
+
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        params = serialization.from_bytes(self.train_state.params,
+                                          blob["params"])
+        self.train_state = self.train_state.replace(params=params)
+        self.norm = {k: jnp.asarray(v) for k, v in blob["norm"].items()}
+        logger.info(f"checkpoint loaded from {path}")
+
+    def act(self, obs, deterministic: bool = True):
+        """Policy inference (used by play mode + sim2real deployment)."""
+        norm_obs = (RunningMeanStd.normalize(self.norm, obs)
+                    if self.cfg.normalize_obs else obs)
+        mean, log_std, _ = self.train_state.apply_fn(self.train_state.params,
+                                                     norm_obs)
+        if deterministic:
+            return mean
+        self.key, akey = jax.random.split(self.key)
+        action, _ = sample_action(mean, log_std, akey)
+        return action
+
     def train(self, total_env_steps: Optional[int] = None, log_every: int = 10):
         cfg = self.cfg
         total = total_env_steps or cfg.total_env_steps

@@ -106,9 +106,10 @@ def test_morphy_passive_arm_settles():
     np.testing.assert_allclose(np.asarray(st2.dof_pos), q, atol=1e-3)
 
 
-def test_rov_neutral_buoyancy_and_damping():
-    """ROV: gravity disabled (neutral buoyancy) and hydrodynamic drag damps
-    velocity (reference base_rov.py simulate_drag + config damping)."""
+def test_rov_hydrodynamic_damping_and_gravity_compensation():
+    """ROV: quadratic+linear body drag decays surge velocity, and the
+    fully-actuated controller's gravity-compensation term holds depth
+    (reference base_rov.py simulate_drag; fully_actuated_control.py:26)."""
     env = build("base_rov", "no_control")
     env.reset()
     st = env.state
@@ -123,9 +124,22 @@ def test_rov_neutral_buoyancy_and_damping():
     for _ in range(50):
         st = dynamics.env_step(params, st, zero_a)
     v = np.asarray(st.linvel)
-    # no gravity sink, and drag decays the initial surge velocity
-    assert np.max(np.abs(np.asarray(st.pos)[:, 2])) < 0.05
+    # drag decays the initial surge velocity
     assert np.max(v[:, 0]) < 0.75
+
+    # with the fully-actuated controller holding the current pose, the ROV
+    # does not sink (gravity compensated like the reference controller)
+    env2 = build("base_rov", "rov_fully_actuated_control")
+    env2.reset()
+    st2 = env2.state
+    st2 = st2.replace(pos=jnp.zeros((N, 3)),
+                      quat=jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (N, 1)),
+                      linvel=jnp.zeros((N, 3)), angvel=jnp.zeros((N, 3)),
+                      motor_thrust=jnp.zeros_like(st2.motor_thrust))
+    hold = jnp.tile(jnp.array([0, 0, 0, 0, 0, 0, 1.0], jnp.float32), (N, 1))
+    for _ in range(200):
+        st2 = dynamics.env_step(env2.params, st2, hold)
+    assert float(jnp.abs(st2.pos[:, 2]).max()) < 0.2
 
 
 def test_reset_resamples_dof_states():
