@@ -158,3 +158,105 @@ def raycast_batched(scene, obstacle_pos, obstacle_quat, ro, rd, max_range):
     )(scene.env_prim_kind, scene.env_prim_size, scene.env_prim_pos,
       scene.env_prim_rot, scene.env_prim_semantic, scene.env_prim_slot,
       obstacle_pos, obstacle_quat, ro, rd)
+
+
+# ---------------------------------------------------------------------------
+# normal + face-id variant (reference NormalFaceID cameras/lidars,
+# warp_camera_kernels.py:68-121: per-pixel surface normal + triangle face id
+# for dataset generation; the primitive index is this renderer's face id)
+# ---------------------------------------------------------------------------
+
+
+def primitive_normal(kind, size, hit_p):
+    """Surface normal at a point on the primitive, in the primitive frame."""
+    half = 0.5 * size
+    # box: dominant axis of |p|/half
+    q = jnp.abs(hit_p) / jnp.maximum(half, 1e-9)
+    axis = jnp.argmax(q, axis=-1)
+    n_box = jnp.sign(hit_p) * jax.nn.one_hot(axis, 3, dtype=hit_p.dtype)
+    # sphere: radial
+    n_sph = hit_p / jnp.maximum(jnp.linalg.norm(hit_p, axis=-1, keepdims=True), 1e-9)
+    # cylinder: side vs cap
+    r, h = size[..., 0:1], size[..., 1:2]
+    on_cap = jnp.abs(jnp.abs(hit_p[..., 2:3]) - 0.5 * h) < 1e-4
+    side = jnp.concatenate([hit_p[..., 0:1], hit_p[..., 1:2],
+                            jnp.zeros_like(hit_p[..., 2:3])], axis=-1)
+    side = side / jnp.maximum(jnp.linalg.norm(side, axis=-1, keepdims=True), 1e-9)
+    cap = jnp.concatenate([jnp.zeros_like(r), jnp.zeros_like(r),
+                           jnp.sign(hit_p[..., 2:3])], axis=-1)
+    n_cyl = jnp.where(on_cap, cap, side)
+    k = kind[..., None]
+    return jnp.where(k == 0, n_box, jnp.where(k == 1, n_cyl, n_sph))
+
+
+def raycast_env_normals(prim_kind, prim_size, prim_pos, prim_rot, prim_sem,
+                        prim_slot, asset_pos, asset_quat, ro, rd, max_range):
+    """Like raycast_env, additionally returning the world-frame surface
+    normal and the hit primitive index ("face id"). Returns
+    (t (R,), sem (R,), normal (R, 3), face_id (R,))."""
+    from ..utils.math import quat_rotate
+
+    def body(carry, prim):
+        t_best, sem_best, idx_best = carry
+        idx, kind, size, ppos, prot, sem, slot = prim
+        a_pos = asset_pos[slot]
+        a_quat = asset_quat[slot]
+        ro_a = quat_rotate_inverse(a_quat, ro - a_pos)
+        rd_a = quat_rotate_inverse(a_quat[None, :], rd)
+        ro_p = prot.T @ (ro_a - ppos)
+        rd_p = rd_a @ prot
+        t = ray_primitive(kind, size, ro_p[None, :], rd_p)
+        closer = t < t_best
+        t_best = jnp.where(closer, t, t_best)
+        sem_best = jnp.where(closer, sem, sem_best)
+        idx_best = jnp.where(closer, idx, idx_best)
+        return (t_best, sem_best, idx_best), None
+
+    R = rd.shape[0]
+    P = prim_kind.shape[0]
+    t0 = jnp.full((R,), _BIG, jnp.float32)
+    s0 = jnp.full((R,), NO_HIT_SEGMENTATION_VAL, jnp.int32)
+    i0 = jnp.full((R,), -1, jnp.int32)
+    (t, sem, face), _ = jax.lax.scan(
+        body, (t0, s0, i0),
+        (jnp.arange(P, dtype=jnp.int32), prim_kind, prim_size, prim_pos,
+         prim_rot, prim_sem, prim_slot))
+
+    # normal of the winning primitive: gather prim data per ray, recompute
+    # the hit point in the primitive frame
+    fi = jnp.maximum(face, 0)
+    kind = prim_kind[fi]
+    size = prim_size[fi]
+    ppos = prim_pos[fi]
+    prot = prim_rot[fi]                  # (R, 3, 3)
+    slot = prim_slot[fi]
+    a_pos = asset_pos[slot]
+    a_quat = asset_quat[slot]
+    ro_a = quat_rotate_inverse(a_quat, ro[None, :] - a_pos)
+    rd_a = quat_rotate_inverse(a_quat, rd)
+    ro_p = jnp.einsum("rji,rj->ri", prot, ro_a - ppos)
+    rd_p = jnp.einsum("rji,rj->ri", prot, rd_a)
+    hit_p = ro_p + t[..., None] * rd_p
+    n_p = primitive_normal(kind, size, hit_p)
+    n_a = jnp.einsum("rij,rj->ri", prot, n_p)
+    n_w = quat_rotate(a_quat, n_a)
+    # orient against the ray and zero misses
+    n_w = jnp.where(jnp.sum(n_w * rd, axis=-1, keepdims=True) > 0, -n_w, n_w)
+
+    miss = t >= jnp.minimum(max_range, _BIG * 0.5)
+    t = jnp.where(miss, NO_HIT_RAY_VAL, t)
+    sem = jnp.where(miss, NO_HIT_SEGMENTATION_VAL, sem)
+    face = jnp.where(miss, -1, face)
+    n_w = jnp.where(miss[..., None], 0.0, n_w)
+    return t, sem, n_w, face
+
+
+def raycast_batched_normals(scene, obstacle_pos, obstacle_quat, ro, rd,
+                            max_range):
+    """vmap of the normal/face-id caster over envs."""
+    return jax.vmap(
+        lambda pk, psz, pp, pr, psem, psl, apos, aq, o, d: raycast_env_normals(
+            pk, psz, pp, pr, psem, psl, apos, aq, o, d, max_range)
+    )(scene.env_prim_kind, scene.env_prim_size, scene.env_prim_pos,
+      scene.env_prim_rot, scene.env_prim_semantic, scene.env_prim_slot,
+      obstacle_pos, obstacle_quat, ro, rd)

@@ -234,6 +234,8 @@ class PPOTrainer:
                 "params": serialization.to_bytes(self.train_state.params),
                 "norm": {k: np.asarray(v) for k, v in self.norm.items()},
                 "cfg": self.cfg.__dict__,
+                "obs_dim": int(self.task.task_config.observation_space_dim),
+                "action_dim": int(self.task.task_config.action_space_dim),
             }, f)
         logger.info(f"checkpoint saved to {path}")
 

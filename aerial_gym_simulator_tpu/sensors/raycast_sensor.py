@@ -259,6 +259,46 @@ def apply_range_limits(sp: RaySensorParams, pixels):
     return pixels
 
 
+def render_normal_faceid(params: SimParams, state: SimState,
+                         sp: RaySensorParams, mount_pos, mount_quat):
+    """NormalFaceID capture (reference WarpNormalFaceIDCam / -Lidar,
+    warp_camera_kernels.py:68-121): per-pixel world-frame surface normal +
+    hit primitive index (the face-id analog of the primitive renderer),
+    plus depth/range and segmentation.
+
+    Returns (depth (N,H,W), normals (N,H,W,3), face_id (N,H,W), seg (N,H,W)).
+    """
+    N = state.pos.shape[0]
+    H, W = sp.height, sp.width
+    R = H * W
+    pos_w, quat_w = sensor_world_pose(sp, state, mount_pos, mount_quat)
+    dirs_flat = sp.dirs.reshape(R, 3)
+    sc = params.scene
+    if sc is None or sc.num_env_prims == 0:
+        depth = jnp.full((N, H, W), raycast.NO_HIT_RAY_VAL, jnp.float32)
+        return (depth, jnp.zeros((N, H, W, 3), jnp.float32),
+                jnp.full((N, H, W), -1, jnp.int32),
+                jnp.full((N, H, W), raycast.NO_HIT_SEGMENTATION_VAL, jnp.int32))
+    rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
+    t, sem, normals, face = raycast.raycast_batched_normals(
+        sc, state.obstacle_pos, state.obstacle_quat, pos_w, rd_world,
+        sp.max_range)
+    mult = sp.depth_multiplier.reshape(R)
+    depth = jnp.where(face >= 0, t * mult[None, :], raycast.NO_HIT_RAY_VAL)
+    return (depth.reshape(N, H, W), normals.reshape(N, H, W, 3),
+            face.reshape(N, H, W), sem.reshape(N, H, W))
+
+
+def render_normal_faceid_camera(params: SimParams, state: SimState):
+    return render_normal_faceid(params, state, params.camera,
+                                state.cam_mount_pos, state.cam_mount_quat)
+
+
+def render_normal_faceid_lidar(params: SimParams, state: SimState):
+    return render_normal_faceid(params, state, params.lidar,
+                                state.lidar_mount_pos, state.lidar_mount_quat)
+
+
 def render_camera(params: SimParams, state: SimState, noise_key=None):
     return render(params, state, params.camera, state.cam_mount_pos,
                   state.cam_mount_quat, noise_key)

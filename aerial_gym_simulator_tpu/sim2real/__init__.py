@@ -1,0 +1,24 @@
+"""Deployment utilities (reference aerial_gym/sim2real/).
+
+Checkpoint -> onboard inference chain:
+
+  1. train with the fused PPO learner (rl/ppo.py), save a checkpoint
+  2. ``export_policy_npz`` converts it to a plain .npz (no JAX/flax needed
+     on the robot)
+  3. ``NumpyPolicy`` / ``Sim2RealInferenceClass`` run the policy with
+     numpy only; ``RL_Nav_Interface`` matches the reference's interface
+     (sample_factory_inference.py:98-110)
+  4. ``ros_node`` streams odometry -> observation -> action when rospy is
+     available (reference sample_factory_ros_node.py)
+"""
+
+from .numpy_policy import NumpyPolicy, export_policy_npz
+from .nn_inference_class import Sim2RealInferenceClass
+from .sample_factory_inference import RL_Nav_Interface
+
+__all__ = [
+    "NumpyPolicy",
+    "export_policy_npz",
+    "Sim2RealInferenceClass",
+    "RL_Nav_Interface",
+]

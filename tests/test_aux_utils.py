@@ -1,0 +1,127 @@
+"""sim2real deployment, TensorPID, normal/face-id render, collision images."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aerial_gym_simulator_tpu as ag
+from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+
+
+def test_numpy_policy_matches_jax(tmp_path):
+    """export_policy_npz + NumpyPolicy reproduce the jax actor exactly."""
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from aerial_gym_simulator_tpu.sim2real import NumpyPolicy, export_policy_npz
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                      seed=0)
+    cfg = PPOConfig(num_envs=8, horizon=4, minibatch_size=32, seed=0)
+    trainer = PPOTrainer(task, cfg)
+    ckpt = str(tmp_path / "p.ckpt")
+    trainer.save_checkpoint(ckpt)
+    npz = str(tmp_path / "p.npz")
+    export_policy_npz(ckpt, npz)
+    policy = NumpyPolicy(npz)
+
+    obs = np.random.RandomState(3).randn(5, 13).astype(np.float32)
+    a_np = policy(obs)
+    a_jax = np.asarray(trainer.act(jnp.asarray(obs), deterministic=True))
+    np.testing.assert_allclose(a_np, a_jax, atol=1e-5)
+
+
+def test_sim2real_inference_class(tmp_path):
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from aerial_gym_simulator_tpu.sim2real import Sim2RealInferenceClass
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=4,
+                                      seed=0)
+    trainer = PPOTrainer(task, PPOConfig(num_envs=4, horizon=4,
+                                         minibatch_size=16, seed=0))
+    ckpt = str(tmp_path / "c.ckpt")
+    trainer.save_checkpoint(ckpt)
+    inf = Sim2RealInferenceClass(num_envs=1, num_actions=4, num_obs=13,
+                                 checkpoint_path=ckpt)
+    a = inf.get_action(np.zeros((1, 13), np.float32))
+    assert a.shape == (1, 4)
+    a0 = inf.get_action(np.zeros((13,), np.float32), get_robot_zero=True)
+    assert a0.shape == (4,)
+
+
+def test_tensor_pid_converges():
+    """PID drives a first-order plant to the setpoint (reference
+    utils/tensor_pid.py semantics: anti-windup + D-term reset skip)."""
+    from aerial_gym_simulator_tpu.utils.tensor_pid import TensorPID
+
+    pid = TensorPID(num_envs=4, num_dims=2, Kp=2.0, Kd=0.1, Ki=0.5, dt=0.02,
+                    integral_min_limit=-1.0, integral_max_limit=1.0,
+                    derivative_saturation_min_limit=-10.0,
+                    derivative_saturation_max_limit=10.0,
+                    output_min_limit=-5.0, output_max_limit=5.0)
+    st = pid.init_state()
+    x = jnp.zeros((4, 2))
+    target = jnp.ones((4, 2)) * 0.7
+    for _ in range(400):
+        st, u = pid.update(st, target - x)
+        x = x + 0.02 * (u - 0.5 * x)   # plant: dx = u - 0.5x
+    np.testing.assert_allclose(np.asarray(x), 0.7, atol=0.05)
+
+    st = pid.reset_idx(st, jnp.array([1.0, 0.0, 0.0, 0.0]))
+    assert float(st.integral[0].sum()) == 0.0
+    assert float(st.integral[1].sum()) != 0.0
+
+
+@pytest.fixture(scope="module")
+def obstacle_env():
+    return SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                  "base_quadrotor_with_camera",
+                                  "lee_velocity_control", num_envs=2, seed=0)
+
+
+def test_normal_faceid_camera(obstacle_env):
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        render_normal_faceid_camera,
+    )
+    env = obstacle_env
+    env.reset()
+    depth, normals, face, seg = render_normal_faceid_camera(env.params,
+                                                            env.state)
+    N = 2
+    H, W = env.params.camera.height, env.params.camera.width
+    assert depth.shape == (N, H, W)
+    assert normals.shape == (N, H, W, 3)
+    assert face.shape == (N, H, W)
+    hit = np.asarray(depth) < 900.0
+    assert hit.any(), "no hits in obstacle env"
+    n = np.asarray(normals)[hit]
+    norms = np.linalg.norm(n, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert (np.asarray(face)[hit] >= 0).all()
+    assert (np.asarray(face)[~hit] == -1).all()
+
+
+def test_collision_image_inflation(obstacle_env):
+    """Inflated render returns closer depths than the raw render."""
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+    from aerial_gym_simulator_tpu.utils.collision_image_generator import (
+        render_inflated_depth,
+    )
+    env = obstacle_env
+    env.reset()
+    # raw depth, unnormalized comparison: use the normal/faceid path which
+    # returns raw depths
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        render_normal_faceid_camera,
+    )
+    raw_depth, *_ = render_normal_faceid_camera(env.params, env.state)
+    infl_depth, _ = render_inflated_depth(env.params, env.state,
+                                          inflation_radius=0.3)
+    raw = np.asarray(raw_depth)
+    infl = np.asarray(infl_depth)
+    hit_both = (raw < 900) & (infl < 900)
+    assert hit_both.any()
+    # inflation can only bring surfaces closer (or create new hits)
+    assert (infl[hit_both] <= raw[hit_both] + 1e-3).all()
+    assert (infl < 900).sum() >= (raw < 900).sum()
