@@ -1,0 +1,45 @@
+"""Offline viewer substitute tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+from aerial_gym_simulator_tpu.viewer import OfflineViewer
+
+
+def test_viewer_renders_and_exports(tmp_path):
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor", "lee_velocity_control",
+                                 num_envs=2, seed=0)
+    env.reset()
+    v = OfflineViewer(env.params, width=80, height=60)
+    a = jnp.zeros((2, 4))
+    for _ in range(3):
+        env.step(a)
+        img = v.render(env.state)
+    assert img.shape == (60, 80, 3) and img.dtype == np.uint8
+    # the robot marker (white-ish) should be visible near image center
+    center = img[20:40, 30:50]
+    assert center.max() > 100
+
+    avi = str(tmp_path / "out.avi")
+    v.save_avi(avi, fps=5)
+    assert os.path.getsize(avi) > 3 * 80 * 60 * 3
+    with open(avi, "rb") as f:
+        head = f.read(12)
+    assert head[:4] == b"RIFF" and head[8:12] == b"AVI "
+
+    v.save_ppm_sequence(str(tmp_path / "frames"))
+    assert len(os.listdir(tmp_path / "frames")) == 3
+
+
+def test_viewer_fixed_mode_and_empty_env():
+    env = SimBuilder().build_env("base_sim", "empty_env", "base_quadrotor",
+                                 "no_control", num_envs=2, seed=0)
+    env.reset()
+    v = OfflineViewer(env.params, width=64, height=48, mode="fixed",
+                      camera_position=(-3.0, 0.0, 1.0))
+    img = v.render(env.state, store=False)
+    assert img.shape == (48, 64, 3)
