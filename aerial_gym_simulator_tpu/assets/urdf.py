@@ -105,6 +105,15 @@ def _link_world_transforms(root) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 def load_urdf(path: str, semantic_id: int = 0, per_link_semantic: bool = False,
               semantic_masked_links: Optional[Dict[str, int]] = None) -> UrdfModel:
+    # fast path: native C++ compiler (assets/native_loader.py); falls back to
+    # this module's Python parser for unsupported options or parse failures
+    if not semantic_masked_links and os.environ.get(
+            "AERIAL_GYM_TPU_NATIVE_LOADER", "1") != "0":
+        from . import native_loader
+        model = native_loader.load_urdf_native(path, semantic_id,
+                                               per_link_semantic)
+        if model is not None:
+            return model
     tree = ET.parse(path)
     return _parse_urdf_tree(tree.getroot(), path, semantic_id, per_link_semantic,
                             semantic_masked_links)
