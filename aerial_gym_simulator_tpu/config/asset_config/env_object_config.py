@@ -71,6 +71,20 @@ def thin_asset_params(num_assets: int = 0) -> AssetTypeConfig:
     )
 
 
+def tile_asset_params(num_assets: int = 1) -> AssetTypeConfig:
+    """Flat tile panels (reference env_object_config.py tile_asset_params:
+    thin horizontal plates with randomized in-plane pose)."""
+    return AssetTypeConfig(
+        name="tiles",
+        num_assets=num_assets,
+        urdf_variants=[procedural.box_urdf("tile", (1.0, 1.0, 0.05))],
+        min_state_ratio=_ratio(0.3, 0.05, 0.05, 0.0, 0.0, -_pi / 3.0),
+        max_state_ratio=_ratio(0.85, 0.95, 0.95, 0.0, 0.0, _pi / 3.0),
+        keep_in_env=True,
+        semantic_id=-1,
+    )
+
+
 def tree_asset_params(num_assets: int = 1) -> AssetTypeConfig:
     return AssetTypeConfig(
         name="trees",
