@@ -1,0 +1,38 @@
+"""Policy inference demo (reference examples/inference_example.py):
+train briefly, export to numpy, and fly the task closed-loop with the
+deployment-side NumpyPolicy (no JAX in the control loop)."""
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax.numpy as jnp
+
+import aerial_gym_simulator_tpu as ag
+from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer, enable_compilation_cache
+from aerial_gym_simulator_tpu.sim2real import NumpyPolicy, export_policy_npz
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    num_envs = 2048
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=num_envs, seed=0)
+    cfg = PPOConfig(num_envs=num_envs, horizon=32, minibatch_size=8192,
+                    total_env_steps=20_000_000, seed=0)
+    trainer = PPOTrainer(task, cfg)
+    trainer.train()
+    trainer.save_checkpoint("/tmp/inference_example.ckpt")
+    export_policy_npz("/tmp/inference_example.ckpt",
+                      "/tmp/inference_example.npz")
+
+    policy = NumpyPolicy("/tmp/inference_example.npz")
+    obs, *_ = task.reset()
+    total = 0.0
+    for i in range(300):
+        actions = policy(np.asarray(obs["observations"]))
+        obs, reward, term, trunc, infos = task.step(jnp.asarray(actions))
+        total += float(reward.mean())
+        if i % 50 == 49:
+            print(f"step {i}: mean reward {total / (i + 1):.3f} "
+                  f"crashes {int(term.sum())}")
+    print(f"numpy-policy closed loop done; mean step reward {total/300:.3f}")

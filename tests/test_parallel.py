@@ -1,0 +1,76 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(conftest sets --xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import aerial_gym_simulator_tpu as ag
+from aerial_gym_simulator_tpu.parallel import mesh as meshlib
+from aerial_gym_simulator_tpu.sim import dynamics
+
+
+@pytest.fixture(scope="module")
+def devices_ok():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+
+def test_sharded_sim_step_matches_single_device(devices_ok):
+    """The fused task step produces identical results when the env axis is
+    sharded over 8 devices (sharding is layout, not semantics)."""
+    from aerial_gym_simulator_tpu.tasks.position_setpoint_task import task_step
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=64,
+                                      seed=5)
+    task.reset()
+    params, state = task.params, task.state
+    actions = jnp.tile(jnp.array([0.1, -0.2, 0.3, 0.0], jnp.float32), (64, 1))
+    target = jnp.zeros((64, 3), jnp.float32)
+
+    ref_state, ref_obs, ref_rew, *_ = jax.jit(
+        lambda s, a: task_step(params, s, a, target, 500, 8.0, None))(state, actions)
+
+    m = meshlib.make_mesh(8)
+    sh_state = meshlib.shard_env_pytree(state, m)
+    sh_actions = meshlib.shard_env_pytree(actions, m)
+    out_state, out_obs, out_rew, *_ = jax.jit(
+        lambda s, a: task_step(params, s, a, target, 500, 8.0, None)
+    )(sh_state, sh_actions)
+
+    np.testing.assert_allclose(np.asarray(ref_obs), np.asarray(out_obs),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_rew), np.asarray(out_rew),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref_state.pos),
+                               np.asarray(out_state.pos), atol=1e-5)
+    # outputs actually live sharded over the mesh
+    assert len(out_state.pos.sharding.device_set) == 8
+
+
+def test_sharded_ppo_train_step_runs(devices_ok):
+    """One full PPO train iteration with env-sharded rollouts + replicated
+    params executes on the 8-device mesh."""
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=64,
+                                      seed=1)
+    cfg = PPOConfig(num_envs=64, horizon=8, minibatch_size=128, epochs=2,
+                    seed=1)
+    trainer = PPOTrainer(task, cfg)
+
+    m = meshlib.make_mesh(8)
+    trainer.env_carry = meshlib.shard_env_pytree(trainer.env_carry, m)
+    trainer.obs = meshlib.shard_env_pytree(trainer.obs, m)
+    trainer.train_state = meshlib.replicate_pytree(trainer.train_state, m)
+
+    hist = trainer.train(total_env_steps=cfg.num_envs * cfg.horizon * 2,
+                         log_every=1)
+    assert np.isfinite(hist[-1]["reward_mean"])
+
+
+def test_dryrun_multichip_entrypoint(devices_ok):
+    """The driver-facing dry run compiles + executes the sharded train step."""
+    from aerial_gym_simulator_tpu.parallel.dryrun import run_dryrun
+    run_dryrun(8)
