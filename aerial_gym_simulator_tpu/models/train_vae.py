@@ -1,0 +1,103 @@
+"""Depth-image VAE training (reference utils/vae trained checkpoint analog).
+
+The reference ships a pre-trained 64-latent depth VAE used as a frozen
+perception backbone in the navigation task. This script trains the same
+architecture directly on depth renders from the simulator itself: random
+robot poses in the obstacle environment produce an endless on-device data
+stream, so the whole pipeline (render -> VAE update) runs on the TPU with
+no dataset on disk.
+
+    python -m aerial_gym_simulator_tpu.models.train_vae \
+        --steps 2000 --batch 64 --out /tmp/depth_vae_params.pkl
+
+Use the result via NavigationTaskConfig.vae_params_path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..sensors.raycast_sensor import render_camera
+from ..sim import dynamics
+from ..sim.sim_builder import SimBuilder
+from ..utils.logging import CustomLogger
+from .vae import DepthVAE, vae_loss
+
+logger = CustomLogger("train_vae")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--latent_dim", type=int, default=64)
+    p.add_argument("--image_h", type=int, default=135,
+                   help="training resolution (navigation uses 270x480 "
+                        "inputs resized to this)")
+    p.add_argument("--image_w", type=int, default=240)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--kld_beta", type=float, default=3.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="/tmp/depth_vae_params.pkl")
+    args = p.parse_args(argv)
+
+    env = SimBuilder().build_env(
+        "base_sim", "env_with_obstacles", "base_quadrotor_with_camera",
+        "lee_velocity_control", num_envs=args.batch, seed=args.seed)
+    env.reset()
+    params_sim = env.params
+    H, W = args.image_h, args.image_w
+
+    model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
+    key = jax.random.PRNGKey(args.seed)
+    key, init_key = jax.random.split(key)
+    vparams = model.init(init_key, jnp.zeros((1, H, W, 1)), init_key)
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(vparams)
+
+    def sample_batch(state, key):
+        """Teleport robots to random poses and render fresh depth images."""
+        k1, k2 = jax.random.split(key)
+        state = dynamics.reset_envs(params_sim, state,
+                                    jnp.ones((args.batch,)))
+        pixels, _ = render_camera(params_sim, state, noise_key=k1)
+        imgs = pixels[..., None]
+        imgs = jax.image.resize(imgs, (args.batch, H, W, 1), "nearest")
+        return state, jnp.clip(imgs, 0.0, 1.0)
+
+    @jax.jit
+    def train_step(vparams, opt_state, state, key):
+        key, k_data, k_vae = jax.random.split(key, 3)
+        state, batch = sample_batch(state, k_data)
+        (loss, (bce, kld)), grads = jax.value_and_grad(
+            lambda p: vae_loss(model, p, batch, k_vae, args.kld_beta),
+            has_aux=True)(vparams)
+        updates, opt_state = tx.update(grads, opt_state)
+        vparams = optax.apply_updates(vparams, updates)
+        return vparams, opt_state, state, key, loss, bce, kld
+
+    state = env.state
+    t0 = time.perf_counter()
+    for it in range(args.steps):
+        vparams, opt_state, state, key, loss, bce, kld = train_step(
+            vparams, opt_state, state, key)
+        if it % 100 == 0 or it == args.steps - 1:
+            logger.info(f"it {it:5d} loss {float(loss):.5f} "
+                        f"bce {float(bce):.5f} kld {float(kld):.4f} "
+                        f"wall {time.perf_counter() - t0:.1f}s")
+
+    with open(args.out, "wb") as f:
+        pickle.dump(jax.device_get(vparams), f)
+    logger.info(f"saved VAE params to {args.out}")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()
