@@ -278,8 +278,18 @@ def env_step(params: SimParams, state: SimState, action: jax.Array,
     )
     env = params.env
     if env.substep_std == 0.0 or n_substeps is None:
-        for i in range(env.substep_mean):
-            state = _substep(params, state, action, i)
+        if env.substep_mean <= 2:
+            # tiny loops: unroll so XLA fuses across substeps
+            for i in range(env.substep_mean):
+                state = _substep(params, state, action, i)
+        else:
+            # larger decimation (e.g. 10 substeps in the obstacle envs):
+            # trace the body ONCE — unrolling would multiply the program
+            # (and compile time) by the substep count for negligible gain
+            def body(i, st):
+                return _substep(params, st, action, i)
+            state = jax.lax.fori_loop(0, env.substep_mean, body, state,
+                                      unroll=False)
     else:
         def body(i, st):
             return _substep(params, st, action, i)
