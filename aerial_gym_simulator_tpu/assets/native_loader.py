@@ -39,6 +39,7 @@ def _ensure_lib() -> Optional[ctypes.CDLL]:
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         lib.agtpu_compile_urdf.restype = ctypes.c_int
+        lib.agtpu_compile_urdf_string.restype = ctypes.c_int
         lib.agtpu_compile_urdf_batch.restype = ctypes.c_int
         lib.agtpu_version.restype = ctypes.c_char_p
         _lib = lib
@@ -76,13 +77,7 @@ def _to_model(path, n, kind, size, pos, rot, sem, mass, com, inertia,
         links=[], primitives=prims, bound_radius=float(bound_radius))
 
 
-def load_urdf_native(path: str, semantic_id: int = 0,
-                     per_link_semantic: bool = False) -> Optional[pyurdf.UrdfModel]:
-    """Native single-file parse; None when the library is unavailable or the
-    file fails to parse (caller falls back to Python)."""
-    lib = _ensure_lib()
-    if lib is None:
-        return None
+def _compile_one(fn, first_arg, name, semantic_id, per_link_semantic):
     M = _MAX_PRIMS
     n = ctypes.c_int(0)
     kind = np.zeros((M,), np.int32)
@@ -94,8 +89,8 @@ def load_urdf_native(path: str, semantic_id: int = 0,
     com = np.zeros((3,), np.float32)
     inertia = np.zeros((9,), np.float32)
     radius = ctypes.c_float(0)
-    rc = lib.agtpu_compile_urdf(
-        path.encode(), semantic_id, int(per_link_semantic), M,
+    rc = fn(
+        first_arg, semantic_id, int(per_link_semantic), M,
         ctypes.byref(n),
         kind.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         size.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
@@ -108,8 +103,31 @@ def load_urdf_native(path: str, semantic_id: int = 0,
         ctypes.byref(radius))
     if rc != 0:
         return None
-    return _to_model(path, n.value, kind, size, pos, rot, sem, mass.value,
+    return _to_model(name, n.value, kind, size, pos, rot, sem, mass.value,
                      com, inertia, radius.value)
+
+
+def load_urdf_native(path: str, semantic_id: int = 0,
+                     per_link_semantic: bool = False) -> Optional[pyurdf.UrdfModel]:
+    """Native single-file parse; None when the library is unavailable or the
+    file fails to parse (caller falls back to Python)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    return _compile_one(lib.agtpu_compile_urdf, path.encode(), path,
+                        semantic_id, per_link_semantic)
+
+
+def load_urdf_string_native(text: str, name: str = "<string>",
+                            semantic_id: int = 0,
+                            per_link_semantic: bool = False
+                            ) -> Optional[pyurdf.UrdfModel]:
+    """Native parse of in-memory URDF XML (the procedural-asset path)."""
+    lib = _ensure_lib()
+    if lib is None:
+        return None
+    return _compile_one(lib.agtpu_compile_urdf_string, text.encode(), name,
+                        semantic_id, per_link_semantic)
 
 
 def load_urdf_batch(paths: List[str], semantic_id: int = 0,

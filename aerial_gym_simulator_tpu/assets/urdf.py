@@ -122,6 +122,14 @@ def load_urdf(path: str, semantic_id: int = 0, per_link_semantic: bool = False,
 def load_urdf_string(text: str, name: str = "<string>", semantic_id: int = 0,
                      per_link_semantic: bool = False,
                      semantic_masked_links: Optional[Dict[str, int]] = None) -> UrdfModel:
+    # procedural assets also go through the native compiler by default
+    if not semantic_masked_links and os.environ.get(
+            "AERIAL_GYM_TPU_NATIVE_LOADER", "1") != "0":
+        from . import native_loader
+        model = native_loader.load_urdf_string_native(text, name, semantic_id,
+                                                      per_link_semantic)
+        if model is not None:
+            return model
     return _parse_urdf_tree(ET.fromstring(text), name, semantic_id,
                             per_link_semantic, semantic_masked_links)
 

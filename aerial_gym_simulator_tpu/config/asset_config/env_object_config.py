@@ -38,6 +38,10 @@ class AssetTypeConfig:
     urdf_variants: List[str]             # candidate URDF strings
     min_state_ratio: List[float]
     max_state_ratio: List[float]
+    # optional on-disk variants: every *.urdf in this folder is added as a
+    # candidate (batch-compiled by the native loader; reference
+    # asset_loader.py:46-57 random file selection)
+    asset_folder: str = ""
     keep_in_env: bool = False
     semantic_id: int = -1                # -1 => per-instance incremental id
     per_link_semantic: bool = False

@@ -62,6 +62,10 @@ def lmf2_controller_config(name: str, num_actions: int = 4) -> ControllerConfig:
 
 
 def octarotor_controller_config(name: str, num_actions: int = 4) -> ControllerConfig:
+    # NOTE: the K_rot x/y "min" exceeding "max" (and lmf2's K_vel z) is the
+    # reference's own config data (lee_controller_config_octarotor.py:31-36);
+    # env_uniform(lo, hi) = lo + (hi-lo)*u samples the reversed interval the
+    # same way torch_rand_float_tensor does, so behavior matches.
     return ControllerConfig(
         name=name, num_actions=num_actions,
         K_pos_tensor_min=[2.0, 2.0, 1.0], K_pos_tensor_max=[3.0, 3.0, 2.0],

@@ -10,6 +10,7 @@ ray-cast/collision kernels read poses directly.
 
 from __future__ import annotations
 
+import os
 from typing import List
 
 import jax
@@ -31,11 +32,27 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
                        seed: int = 1234) -> SceneParams:
     """Compile the env's asset catalog into device arrays."""
     asset_types = getattr(env_cfg, "asset_types", [])
-    variants_urdf: List[str] = []
+    variants_urdf: List[str] = []        # URDF text (or None for file models)
+    variant_models: dict = {}            # variant idx -> preloaded UrdfModel
     variant_type_index: List[int] = []   # variant -> asset type idx
     type_variant_ranges = []
     for t_idx, at in enumerate(asset_types):
         start = len(variants_urdf)
+        # on-disk asset folders: every *.urdf is a variant, batch-compiled
+        # through the native threaded loader (reference asset_loader.py:46-57
+        # random file selection semantics)
+        folder = getattr(at, "asset_folder", "")
+        if folder:
+            import glob as _glob
+            files = sorted(_glob.glob(os.path.join(folder, "*.urdf")))
+            from ..assets import native_loader
+            models = native_loader.load_urdf_batch(files) if files else None
+            if models is None:
+                models = [urdflib.load_urdf(f) for f in files]
+            for m in models:
+                variant_models[len(variants_urdf)] = m
+                variants_urdf.append(None)
+                variant_type_index.append(t_idx)
         for v in at.urdf_variants:
             variants_urdf.append(v)
             variant_type_index.append(t_idx)
@@ -53,7 +70,8 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
     sem_counter = 100  # incremental ids for semantic_id == -1 assets
     for v_idx, text in enumerate(variants_urdf):
         at = asset_types[variant_type_index[v_idx]]
-        model = urdflib.load_urdf_string(text, name=f"variant_{v_idx}")
+        model = (variant_models[v_idx] if text is None else
+                 urdflib.load_urdf_string(text, name=f"variant_{v_idx}"))
         prims = model.primitives[:P]
         for p_idx, pr in enumerate(prims):
             prim_kind[v_idx, p_idx] = _KIND[pr.kind]

@@ -115,10 +115,15 @@ class XmlParser {
         break;
       }
       std::string key = parse_name();
+      if (key.empty()) {
+        ++i_;  // malformed character: consume it so the loop always advances
+        continue;
+      }
       skip_ws();
       if (i_ < s_.size() && s_[i_] == '=') {
         ++i_;
         skip_ws();
+        if (i_ >= s_.size()) return node;
         char quote = s_[i_];
         ++i_;
         size_t start = i_;
@@ -462,6 +467,20 @@ int agtpu_compile_urdf(const char* path, int semantic_id,
                        int* semantic, float* mass, float* com, float* inertia,
                        float* bound_radius) {
   CompiledModel m = compile_urdf_file(path, semantic_id,
+                                      per_link_semantic != 0);
+  return write_out(m, max_prims, n_prims, kind, size, pos, rot, semantic,
+                   mass, com, inertia, bound_radius);
+}
+
+// Compile URDF XML passed as a string (the procedural-asset path: generated
+// robots/obstacles never touch disk). Same contract as agtpu_compile_urdf.
+int agtpu_compile_urdf_string(const char* text, int semantic_id,
+                              int per_link_semantic, int max_prims,
+                              int* n_prims, int* kind, float* size,
+                              float* pos, float* rot, int* semantic,
+                              float* mass, float* com, float* inertia,
+                              float* bound_radius) {
+  CompiledModel m = compile_urdf_text(std::string(text), semantic_id,
                                       per_link_semantic != 0);
   return write_out(m, max_prims, n_prims, kind, size, pos, rot, semantic,
                    mass, com, inertia, bound_radius);

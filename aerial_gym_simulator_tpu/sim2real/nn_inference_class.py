@@ -47,4 +47,9 @@ class Sim2RealInferenceClass:
         actions = self.policy(obs)
         if get_robot_zero:
             actions = actions[0]
-        return actions if get_np else actions
+        if get_np:
+            return actions
+        # framework-tensor return (reference returns a torch tensor here);
+        # this framework's device type is a jax array
+        import jax.numpy as jnp
+        return jnp.asarray(actions)

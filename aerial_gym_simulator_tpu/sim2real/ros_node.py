@@ -92,12 +92,16 @@ class NavPolicyNode:
         while not rospy.is_shutdown():
             if self.odom is not None:
                 obs = self.build_obs()
-                action = self.policy.step({"observations": obs[None]})[0]
-                self.prev_action = action
+                action = np.asarray(
+                    self.policy.step({"observations": obs[None]})[0])
+                if action.shape[0] < 4:   # [vx, vz, yaw_rate]-style policies
+                    action = np.concatenate(
+                        [action, np.zeros(4 - action.shape[0])])
+                self.prev_action = action[:4]
                 msg = TwistStamped()
                 msg.header.stamp = rospy.Time.now()
                 msg.twist.linear.x = float(action[0])
-                msg.twist.linear.y = float(action[1]) if len(action) > 3 else 0.0
+                msg.twist.linear.y = float(action[1])
                 msg.twist.linear.z = float(action[2])
                 msg.twist.angular.z = float(action[3])
                 self.cmd_pub.publish(msg)

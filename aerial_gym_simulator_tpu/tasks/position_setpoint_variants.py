@@ -302,7 +302,6 @@ def _morphy_reward(pos_error, quat, angvel_b, joint_vels, crashes, action,
 class VariantCarry(NamedTuple):
     sim: SimState
     prev_action: jax.Array       # scaled action applied at the previous step
-    prev_aux: jax.Array          # (N, 3) prev pos error (or [dist, 0, 0])
     key: jax.Array               # obs-noise key
 
 
@@ -311,7 +310,14 @@ def _scale_actions(cfg: VariantTaskConfig, raw):
         return raw
     lo = jnp.asarray(cfg.action_limit_min, jnp.float32)
     hi = jnp.asarray(cfg.action_limit_max, jnp.float32)
-    return interpolate_ratio(lo, hi, jnp.clip(raw, 0.0, 1.0))
+    if cfg.variant in ("reconfigurable", "morphy"):
+        # [0,1]-ratio commands (reference torch.clamp(actions, 0, 1) +
+        # interpolate, position_setpoint_task_config_reconfigurable.py)
+        return interpolate_ratio(lo, hi, jnp.clip(raw, 0.0, 1.0))
+    # symmetric policy range: clamp(-1,1) mapped so action 0 is mid-range
+    # (reference end_to_end/px4 process_actions_for_task)
+    a = jnp.clip(raw, -1.0, 1.0)
+    return a * (hi - lo) / 2.0 + (hi + lo) / 2.0
 
 
 def variant_task_step(params: SimParams, cfg: VariantTaskConfig,
@@ -394,8 +400,7 @@ def variant_task_step(params: SimParams, cfg: VariantTaskConfig,
     state = dynamics.post_reward_step(params, state)
 
     task_obs = _pack_obs(cfg, state, action, target_position, k_obs)
-    new_carry = VariantCarry(sim=state, prev_action=action,
-                             prev_aux=prev_pos_error, key=key)
+    new_carry = VariantCarry(sim=state, prev_action=action, key=key)
     return new_carry, task_obs, reward, crashes, truncations
 
 
@@ -530,7 +535,6 @@ class PositionSetpointTaskVariant:
             sim=self.sim_env.state,
             prev_action=jnp.zeros((self.num_envs,
                                    self.task_config.action_space_dim), jnp.float32),
-            prev_aux=jnp.zeros((self.num_envs, 3), jnp.float32),
             key=jax.random.PRNGKey(self.task_config.seed ^ 0x5eed),
         )
         self.task_obs["observations"] = _pack_obs(
@@ -541,6 +545,10 @@ class PositionSetpointTaskVariant:
 
     def reset_idx(self, env_ids):
         self.sim_env.reset_idx(env_ids)
+        # re-sync the step carry, else the per-env reset would be discarded
+        # by the next _jit_variant_step (which consumes self._carry.sim)
+        if self._carry is not None:
+            self._carry = self._carry._replace(sim=self.sim_env.state)
 
     def render(self):
         return None

@@ -74,8 +74,9 @@ class OfflineViewer:
         right = jnp.cross(fwd, up0)
         right = right / jnp.maximum(jnp.linalg.norm(right), 1e-6)
         up = jnp.cross(right, fwd)
-        # camera dirs are defined in an x-forward, y-left, z-up data frame
-        R = jnp.stack([fwd, -right, up], axis=1)      # (3,3): cols = basis
+        # camera_ray_dirs produces OPTICAL-frame dirs (x right in image,
+        # y down in image, z forward); map optical -> world look-at basis
+        R = jnp.stack([right, -up, fwd], axis=1)      # (3,3): cols = basis
         rd = self._dirs @ R.T
 
         i = self.env_id
@@ -146,10 +147,14 @@ class OfflineViewer:
             bgr = img[::-1, :, ::-1]
             raw.append(bgr.tobytes())
 
-        avih = struct.pack("<14I", int(1e6 / fps), frame_size * fps, 0, 0x10,
+        # AVIMAINHEADER (no index chunk is written, so no AVIF_HASINDEX)
+        avih = struct.pack("<14I", int(1e6 / fps), frame_size * fps, 0, 0,
                            n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
-        strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
-                                                fps, n, frame_size, 0, 0, 0, 0))
+        # AVISTREAMHEADER: fccType fccHandler flags prio+lang initialframes
+        # scale rate start length suggestedbuf quality samplesize rcFrame(4H)
+        strh = (b"vids" + b"DIB "
+                + struct.pack("<IIIIIIIIIi4H", 0, 0, 0, 1, fps, 0, n,
+                              frame_size, 0xFFFFFFFF & -1, 0, 0, 0, w, h))
         strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size,
                            0, 0, 0, 0)
         strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh)
