@@ -319,7 +319,15 @@ def main():
     p.add_argument("--total_steps", type=int, default=50_000_000)
     p.add_argument("--horizon", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the env axis over all visible devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize before building the mesh")
     args = p.parse_args()
+
+    if args.multihost:
+        from ..parallel.distributed import initialize_multihost
+        initialize_multihost()
 
     task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
                                       seed=args.seed)
@@ -327,6 +335,9 @@ def main():
                     minibatch_size=min(8192, args.num_envs * args.horizon),
                     total_env_steps=args.total_steps, seed=args.seed)
     trainer = PPOTrainer(task, cfg)
+    if args.multichip or args.multihost:
+        from ..parallel.distributed import shard_trainer
+        shard_trainer(trainer)
     history = trainer.train()
     print(f"final reward: {history[-1]['reward_mean']:.3f} "
           f"({history[-1]['wall_s']:.1f}s wall)")
