@@ -59,7 +59,7 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
     P = n_box + n_cyl + n_sph
 
     def kernel(pose_ref, prim_ref, dx_ref, dy_ref, dz_ref, mult_ref,
-               depth_ref, seg_ref):
+               depth_ref, seg_ref, t_scr, s_scr):
         ox = pose_ref[0, 0, 0]
         oy = pose_ref[0, 0, 1]
         oz = pose_ref[0, 0, 2]
@@ -71,9 +71,27 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
         dxw, dyw, dzw = _quat_rotate_tile(qx, qy, qz, qw,
                                           dx_ref[:], dy_ref[:], dz_ref[:])
 
-        t0 = jnp.full((_TILE_ROWS, _LANES), _BIG, jnp.float32)
-        s0 = jnp.full((_TILE_ROWS, _LANES), float(NO_HIT_SEGMENTATION_VAL),
-                      jnp.float32)
+        t_scr[:] = jnp.full((_TILE_ROWS, _LANES), _BIG, jnp.float32)
+        s_scr[:] = jnp.full((_TILE_ROWS, _LANES),
+                            float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
+
+        def in_reach(p):
+            """Scalar broad phase: can this primitive possibly be hit?
+
+            Skips culled obstacles (parked at -1000 by the curriculum,
+            reference asset_manager.py:72 teleport) and anything farther
+            than max_range + bound. bound = sx+sy+sz is a cheap safe
+            over-estimate of every primitive's bounding radius.
+            """
+            px = prim_ref[0, p, 3]
+            py = prim_ref[0, p, 4]
+            pz = prim_ref[0, p, 5]
+            bound = (prim_ref[0, p, 0] + prim_ref[0, p, 1]
+                     + prim_ref[0, p, 2])
+            dxo, dyo, dzo = ox - px, oy - py, oz - pz
+            d2 = dxo * dxo + dyo * dyo + dzo * dzo
+            reach = max_range + bound
+            return d2 < reach * reach
 
         def prim_common(p):
             sx = prim_ref[0, p, 0]
@@ -95,13 +113,12 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
             rdz = r[2] * dxw + r[5] * dyw + r[8] * dzw
             return (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem)
 
-        def update(carry, t, sem):
-            t_best, s_best = carry
-            closer = t < t_best
-            return (jnp.where(closer, t, t_best),
-                    jnp.where(closer, sem, s_best))
+        def update(t, sem):
+            closer = t < t_scr[:]
+            s_scr[:] = jnp.where(closer, sem, s_scr[:])
+            t_scr[:] = jnp.where(closer, t, t_scr[:])
 
-        def box_body(i, carry):
+        def box_body(i):
             (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(i)
             hx, hy, hz = 0.5 * sx, 0.5 * sy, 0.5 * sz
             ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
@@ -117,9 +134,9 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
             hit = tmax >= jnp.maximum(tmin, 0.0)
             t = jnp.where(tmin > 0.0, tmin, tmax)
             t = jnp.where(hit & (t > 0.0), t, _BIG)
-            return update(carry, t, sem)
+            update(t, sem)
 
-        def cyl_body(i, carry):
+        def cyl_body(i):
             p = n_box + i
             (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
             radius, half = sx, 0.5 * sy
@@ -148,9 +165,9 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
                 return jnp.where(ok, t, _BIG)
 
             t = jnp.minimum(t_side, jnp.minimum(cap_t(tc0), cap_t(tc1)))
-            return update(carry, t, sem)
+            update(t, sem)
 
-        def sph_body(i, carry):
+        def sph_body(i):
             p = n_box + n_cyl + i
             (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
             radius = sx
@@ -162,20 +179,21 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
             t1_ = -b + sq
             t = jnp.where(t0_ > 0.0, t0_, t1_)
             t = jnp.where((disc >= 0.0) & (t > 0.0) & (radius > 0.0), t, _BIG)
-            return update(carry, t, sem)
+            update(t, sem)
 
-        # unrolled primitive sweeps: lets Mosaic software-pipeline the SMEM
-        # scalar loads against the vector intersection math (a fori_loop
-        # serializes them and costs ~3x at P ~ 50)
-        carry = (t0, s0)
+        # unrolled primitive sweeps (Mosaic software-pipelines the SMEM
+        # scalar loads against the vector math; a fori_loop serializes them)
+        # with a scalar broad-phase branch around each primitive's vector
+        # work — culled/out-of-range primitives cost 1 scalar test only
         for i in range(n_box):
-            carry = box_body(i, carry)
+            pl.when(in_reach(i))(lambda i=i: box_body(i))
         for i in range(n_cyl):
-            carry = cyl_body(i, carry)
+            pl.when(in_reach(n_box + i))(lambda i=i: cyl_body(i))
         for i in range(n_sph):
-            carry = sph_body(i, carry)
-        t_best, s_best = carry
+            pl.when(in_reach(n_box + n_cyl + i))(lambda i=i: sph_body(i))
 
+        t_best = t_scr[:]
+        s_best = s_scr[:]
         miss = t_best >= jnp.minimum(max_range, 0.5 * _BIG)
         t_best = jnp.where(miss, NO_HIT_RAY_VAL, t_best)
         s_best = jnp.where(miss, float(NO_HIT_SEGMENTATION_VAL), s_best)
@@ -269,6 +287,10 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
         out_shape=[
             jax.ShapeDtypeStruct((N, rows, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_ROWS, _LANES), jnp.float32),   # t_best
+            pltpu.VMEM((_TILE_ROWS, _LANES), jnp.float32),   # seg_best
         ],
         interpret=interpret,
     )(pose, prims, dx, dy, dz, mt)
