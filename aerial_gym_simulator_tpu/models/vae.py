@@ -111,9 +111,17 @@ class VAEImageEncoder:
         # bf16 conv stack keeps the MXU busy (~3x encode throughput on TPU);
         # the frozen perception features feed an RL policy, which is robust
         # to bf16 feature noise. Pass compute_dtype=jnp.float32 to disable.
+        # Only the ENCODER subtree is cast — decode() keeps using the f32
+        # master params, and the decoder is the bulk of the model.
         self.compute_dtype = compute_dtype
-        self._compute_params = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype), params)
+
+        def cast_encoder(path, leaf):
+            in_encoder = any(getattr(k, "key", None) == "encoder"
+                             for k in path)
+            return leaf.astype(compute_dtype) if in_encoder else leaf
+
+        self._compute_params = jax.tree_util.tree_map_with_path(
+            cast_encoder, params)
 
     def encode(self, images, key=None):
         """images (B, H, W) or (B, H, W, 1) -> latents (B, latent_dim) f32."""

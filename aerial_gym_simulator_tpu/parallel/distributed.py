@@ -23,16 +23,26 @@ logger = CustomLogger("distributed")
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None):
+                         process_id: Optional[int] = None,
+                         require: bool = False):
     """jax.distributed.initialize with TPU-pod auto-detection.
 
-    On Cloud TPU pods all arguments are discovered from the environment;
-    pass them explicitly for other clusters. Safe to call on single-host
-    setups (no-op when JAX already sees only local devices and no
-    coordinator is configured).
+    MUST run before the first backend use (importing this package does not
+    initialize the backend; creating any device array does). On Cloud TPU
+    pods all arguments are discovered from the environment; pass them
+    explicitly for other clusters.
+
+    require=False tolerates exactly one failure mode — no coordinator
+    configured at all (plain single-host run). Any failure while a
+    coordinator IS configured (or require=True) re-raises: silently
+    degrading a pod launch to N identical single-host runs is worse than
+    crashing.
     """
     if coordinator_address is None and "COORDINATOR_ADDRESS" in os.environ:
         coordinator_address = os.environ["COORDINATOR_ADDRESS"]
+    configured = require or coordinator_address is not None or any(
+        k in os.environ for k in ("JAX_COORDINATOR_ADDRESS",
+                                  "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
@@ -42,7 +52,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             f"{jax.local_device_count()} local / {jax.device_count()} global "
             f"devices")
     except Exception as e:
-        logger.warning(f"jax.distributed.initialize skipped: {e}")
+        if configured:
+            raise
+        logger.warning(f"jax.distributed.initialize skipped "
+                       f"(no coordinator configured): {e}")
 
 
 def shard_trainer(trainer, n_devices: Optional[int] = None):
@@ -53,8 +66,9 @@ def shard_trainer(trainer, n_devices: Optional[int] = None):
     PRNG keys make the sharded resets reproducible regardless of topology.
     """
     m = meshlib.make_mesh(n_devices)
-    trainer.env_carry = meshlib.shard_env_pytree(trainer.env_carry, m)
-    trainer.obs = meshlib.shard_env_pytree(trainer.obs, m)
+    n_envs = trainer.cfg.num_envs
+    trainer.env_carry = meshlib.shard_env_pytree(trainer.env_carry, m, n_envs)
+    trainer.obs = meshlib.shard_env_pytree(trainer.obs, m, n_envs)
     trainer.train_state = meshlib.replicate_pytree(trainer.train_state, m)
     trainer.norm = meshlib.replicate_pytree(trainer.norm, m)
     logger.info(f"trainer sharded over {len(m.devices.flatten())} devices "

@@ -42,10 +42,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_env_pytree(tree, mesh: Mesh):
-    """Place every leaf with its leading axis sharded over the env axis."""
+def shard_env_pytree(tree, mesh: Mesh, num_envs: Optional[int] = None):
+    """Shard env-batched leaves over the env axis; replicate the rest.
+
+    A leaf is env-batched when its leading dim equals `num_envs` (inferred
+    as the most common leading dim when not given). Scalar aggregates,
+    PRNG keys and other non-batched state (e.g. NavState.curriculum_level)
+    are replicated — splitting them across devices would be wrong.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    if num_envs is None:
+        from collections import Counter
+        dims = Counter(l.shape[0] for l in leaves
+                       if hasattr(l, "shape") and len(l.shape) >= 1)
+        if not dims:
+            return jax.device_put(tree, replicated(mesh))
+        num_envs = dims.most_common(1)[0][0]
     sh = env_sharding(mesh)
-    return jax.device_put(tree, sh)
+    rep = replicated(mesh)
+
+    def place(leaf):
+        batched = (hasattr(leaf, "shape") and len(leaf.shape) >= 1
+                   and leaf.shape[0] == num_envs)
+        return jax.device_put(leaf, sh if batched else rep)
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def replicate_pytree(tree, mesh: Mesh):

@@ -309,10 +309,6 @@ def enable_compilation_cache(path: str = "/tmp/aerial_gym_tpu_jit_cache"):
 def main():
     import argparse
 
-    import aerial_gym_simulator_tpu as ag
-
-    enable_compilation_cache()
-
     p = argparse.ArgumentParser()
     p.add_argument("--task", default="position_setpoint_task")
     p.add_argument("--num_envs", type=int, default=8192)
@@ -325,9 +321,15 @@ def main():
                    help="jax.distributed.initialize before building the mesh")
     args = p.parse_args()
 
+    # must run before ANY backend use — importing this package is kept free
+    # of device-array creation precisely so this ordering works
     if args.multihost:
         from ..parallel.distributed import initialize_multihost
-        initialize_multihost()
+        initialize_multihost(require=True)
+
+    import aerial_gym_simulator_tpu as ag
+
+    enable_compilation_cache()
 
     task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
                                       seed=args.seed)

@@ -102,7 +102,10 @@ def pd_control(pos_error, vel_error, stiffness, damping):
 # quaternion algebra  (xyzw, scalar-last)
 # ---------------------------------------------------------------------------
 
-QUAT_IDENTITY = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# identity xyzw quaternion as a plain tuple: creating a device array at
+# import time would initialize the XLA backend before
+# jax.distributed.initialize can run (multi-host ordering constraint)
+QUAT_IDENTITY = (0.0, 0.0, 0.0, 1.0)
 
 
 def quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:

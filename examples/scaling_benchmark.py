@@ -33,14 +33,17 @@ def bench_devices(n_dev: int, envs_per_device: int, steps: int,
     actions = meshlib.shard_env_pytree(
         jnp.zeros((num_envs, task.action_space_dim), jnp.float32), m)
 
-    jitted = jax.jit(lambda c, a: step_fn(c, a)[0])
-    for _ in range(10):
-        carry = jitted(carry, actions)
-    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+    # keep obs + reward live so XLA cannot dead-code-eliminate the
+    # observation/reward work the PPO rollout actually performs
+    jitted = jax.jit(lambda c, a: step_fn(c, a)[:3])
+    carry, obs, rew = jitted(carry, actions)
+    for _ in range(9):
+        carry, obs, rew = jitted(carry, actions)
+    jax.block_until_ready(obs)
     t0 = time.perf_counter()
     for _ in range(steps):
-        carry = jitted(carry, actions)
-    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        carry, obs, rew = jitted(carry, actions)
+    jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
     return steps * num_envs / dt
 
@@ -56,6 +59,8 @@ if __name__ == "__main__":
     counts = [1]
     while counts[-1] * 2 <= n_total:
         counts.append(counts[-1] * 2)
+    if counts[-1] != n_total:
+        counts.append(n_total)          # always benchmark the full slice
 
     base_rate_per_dev = None
     print(f"{'devices':>8s} {'envs':>8s} {'steps/s':>14s} {'efficiency':>11s}")
