@@ -1,0 +1,58 @@
+"""YAML runner config mapping + vec-env wrappers."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import aerial_gym_simulator_tpu as ag
+from aerial_gym_simulator_tpu.rl_training.rl_games.runner import (
+    CONFIG_DIR,
+    load_yaml_config,
+    ppo_config_from_yaml,
+)
+from aerial_gym_simulator_tpu.rl_training.vec_env import (
+    AerialGymVecEnv,
+    ExtractObsWrapper,
+)
+import os
+
+
+def test_yaml_maps_reference_layout():
+    doc = load_yaml_config(os.path.join(CONFIG_DIR, "ppo_aerial_quad.yaml"))
+    cfg = ppo_config_from_yaml(doc)
+    assert cfg.num_envs == 8192
+    assert cfg.horizon == 32
+    assert cfg.minibatch_size == 8192
+    assert cfg.epochs == 4
+    assert cfg.gamma == 0.99
+    assert cfg.gae_lambda == 0.95
+    assert cfg.lr == 1e-4
+    assert cfg.value_coef == 2.0
+    assert cfg.reward_scale == 0.1
+    assert cfg.hidden == (256, 128, 64)
+    assert cfg.activation == "elu"
+    assert cfg.seed == 8
+
+    # CLI overrides win
+    cfg2 = ppo_config_from_yaml(doc, num_envs=64, seed=5)
+    assert cfg2.num_envs == 64 and cfg2.seed == 5
+    assert cfg2.minibatch_size <= 64 * 32
+
+
+def test_extract_obs_wrapper():
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=4,
+                                      seed=0)
+    env = ExtractObsWrapper(task)
+    obs = env.reset()
+    assert obs.shape == (4, 13)
+    obs, rew, dones, infos = env.step(jnp.zeros((4, 4)))
+    assert obs.shape == (4, 13) and rew.shape == (4,) and dones.shape == (4,)
+
+
+def test_sample_factory_vec_env_numpy_interface():
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=4,
+                                      seed=0)
+    env = AerialGymVecEnv(task)
+    obs, info = env.reset()
+    assert isinstance(obs["obs"], np.ndarray)
+    obs, rew, term, trunc, infos = env.step(np.zeros((4, 4), np.float32))
+    assert isinstance(rew, np.ndarray) and rew.shape == (4,)
