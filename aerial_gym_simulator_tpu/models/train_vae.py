@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--kld_beta", type=float, default=3.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--collision_targets", action="store_true",
+                   help="deep-collision-encoder mode: encode raw depth but "
+                        "reconstruct the robot-radius-INFLATED depth "
+                        "(reference dce_rl_navigation / "
+                        "collision_image_generator training recipe)")
     p.add_argument("--out", default="/tmp/depth_vae_params.pkl")
     args = p.parse_args(argv)
 
@@ -63,21 +68,39 @@ def main(argv=None):
     opt_state = tx.init(vparams)
 
     def sample_batch(state, key):
-        """Teleport robots to random poses and render fresh depth images."""
+        """Teleport robots to random poses and render fresh depth images.
+
+        Returns (state, inputs, targets): targets == inputs for plain depth
+        reconstruction, or the robot-radius-inflated depth when training a
+        deep collision encoder (the latent then predicts where the robot
+        FITS rather than raw geometry)."""
         k1, k2 = jax.random.split(key)
         state = dynamics.reset_envs(params_sim, state,
                                     jnp.ones((args.batch,)))
         pixels, _ = render_camera(params_sim, state, noise_key=k1)
-        imgs = pixels[..., None]
-        imgs = jax.image.resize(imgs, (args.batch, H, W, 1), "nearest")
-        return state, jnp.clip(imgs, 0.0, 1.0)
+
+        def to_img(px):
+            img = jax.image.resize(px[..., None], (args.batch, H, W, 1),
+                                   "nearest")
+            return jnp.clip(img, 0.0, 1.0)
+
+        inputs = to_img(pixels)
+        if args.collision_targets:
+            from ..utils.collision_image_generator import render_inflated_depth
+            infl, _ = render_inflated_depth(params_sim, state)
+            infl = jnp.clip(infl / float(params_sim.camera.max_range), 0.0, 1.0)
+            targets = to_img(infl)
+        else:
+            targets = inputs
+        return state, inputs, targets
 
     @jax.jit
     def train_step(vparams, opt_state, state, key):
         key, k_data, k_vae = jax.random.split(key, 3)
-        state, batch = sample_batch(state, k_data)
+        state, batch, targets = sample_batch(state, k_data)
         (loss, (bce, kld)), grads = jax.value_and_grad(
-            lambda p: vae_loss(model, p, batch, k_vae, args.kld_beta),
+            lambda p: vae_loss(model, p, batch, k_vae, args.kld_beta,
+                               targets=targets),
             has_aux=True)(vparams)
         updates, opt_state = tx.update(grads, opt_state)
         vparams = optax.apply_updates(vparams, updates)

@@ -147,12 +147,19 @@ class VAEImageEncoder:
         return self.latent_dim
 
 
-def vae_loss(model: DepthVAE, params, batch, key, kld_beta: float = 3.0):
+def vae_loss(model: DepthVAE, params, batch, key, kld_beta: float = 3.0,
+             targets=None):
     """Reconstruction (BCE) + beta-weighted KLD (reference training recipe:
-    'kld_beta_3' in the shipped checkpoint name)."""
+    'kld_beta_3' in the shipped checkpoint name).
+
+    `targets` defaults to the inputs; pass robot-radius-inflated depth
+    images to train a deep collision encoder (the latent predicts free
+    space for the robot, not raw geometry)."""
+    if targets is None:
+        targets = batch
     recon, mean, logvar = model.apply(params, batch, key)
     eps = 1e-6
-    bce = -jnp.mean(batch * jnp.log(recon + eps)
-                    + (1.0 - batch) * jnp.log(1.0 - recon + eps))
+    bce = -jnp.mean(targets * jnp.log(recon + eps)
+                    + (1.0 - targets) * jnp.log(1.0 - recon + eps))
     kld = -0.5 * jnp.mean(1.0 + logvar - mean**2 - jnp.exp(logvar))
     return bce + kld_beta * kld / np.prod(batch.shape[1:3]), (bce, kld)
