@@ -93,6 +93,10 @@ class EnvManager:
         self._py_rng = pyrandom.Random(seed)
         # env_actions buffer (dynamic obstacle twists)
         self.env_actions = None
+        # latest sensor capture (filled by render(); reference
+        # global_tensor_dict["depth_range_pixels"])
+        self._sensor_frames = None
+        self._jit_render = None
         self.reset()
 
     # -- core loop ---------------------------------------------------------
@@ -145,6 +149,12 @@ class EnvManager:
         obs["gravity"] = self.params.gravity
         obs["robot_mass"] = self.params.robot.mass
         obs["robot_inertia"] = self.params.robot.inertia
+        # reference global_tensor_dict parity keys
+        obs["env_bounds_min"] = self.state.bounds_lo
+        obs["env_bounds_max"] = self.state.bounds_hi
+        obs["num_obstacles_in_env"] = self.state.num_obstacles
+        if self._sensor_frames is not None:
+            obs["depth_range_pixels"] = self._sensor_frames
         return obs
 
     @property
@@ -152,7 +162,18 @@ class EnvManager:
         return self.state.sim_steps
 
     def render(self, render_components: str = "sensors"):
-        return None
+        """Capture the robot's exteroceptive sensor (reference
+        EnvManager.render('sensors') -> capture_sensors); the frames land in
+        get_obs()["depth_range_pixels"]. No-op without a sensor."""
+        if self.params.camera is None and self.params.lidar is None:
+            return None
+        if self._jit_render is None:
+            from ..sensors.raycast_sensor import render_camera, render_lidar
+            fn = render_camera if self.params.camera is not None else render_lidar
+            params = self.params
+            self._jit_render = jax.jit(lambda s: fn(params, s)[0])
+        self._sensor_frames = self._jit_render(self.state)
+        return self._sensor_frames
 
     def delete_env(self):
         self.state = None
