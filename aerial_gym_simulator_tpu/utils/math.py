@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # ---------------------------------------------------------------------------
 # generic helpers
@@ -102,10 +103,10 @@ def pd_control(pos_error, vel_error, stiffness, damping):
 # quaternion algebra  (xyzw, scalar-last)
 # ---------------------------------------------------------------------------
 
-# identity xyzw quaternion as a plain tuple: creating a device array at
+# identity xyzw quaternion as a NUMPY array: a device array created at
 # import time would initialize the XLA backend before
 # jax.distributed.initialize can run (multi-host ordering constraint)
-QUAT_IDENTITY = (0.0, 0.0, 0.0, 1.0)
+QUAT_IDENTITY = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def quat_mul(a: jax.Array, b: jax.Array) -> jax.Array:
