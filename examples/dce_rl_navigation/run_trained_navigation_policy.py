@@ -21,13 +21,21 @@ from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer, enable_compil
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", default="/tmp/navigation_task_ppo.ckpt")
+    p.add_argument("--vae_params", default=None,
+                   help="depth-VAE params pickle the policy was trained with "
+                        "(models.train_vae output) — MUST match training")
     p.add_argument("--num_envs", type=int, default=64)
     p.add_argument("--steps", type=int, default=400)
     args = p.parse_args()
 
     enable_compilation_cache()
-    task = ag.task_registry.make_task("navigation_task",
-                                      num_envs=args.num_envs, seed=0)
+    from aerial_gym_simulator_tpu.tasks.navigation_task import (
+        NavigationTask, NavigationTaskConfig)
+    cfg = NavigationTaskConfig()
+    cfg.num_envs = args.num_envs
+    if args.vae_params:
+        cfg.vae_params_path = args.vae_params
+    task = NavigationTask(cfg, seed=0)
     trainer = PPOTrainer(task, PPOConfig(num_envs=args.num_envs, horizon=8,
                                          minibatch_size=256))
     if _os.path.exists(args.checkpoint):
