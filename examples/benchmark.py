@@ -46,11 +46,22 @@ def bench_physics(num_envs: int, steps: int):
 
 
 def bench_render(num_envs: int, steps: int):
+    from aerial_gym_simulator_tpu.registry.registries import robot_registry
+    from aerial_gym_simulator_tpu.config.sensor_config.sensor_configs import (
+        NavDepthCameraConfig,
+    )
     from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+
+    # 270x480 depth camera — the reference benchmark's configuration
+    def robot_270x480():
+        cfg = robot_registry.make("base_quadrotor_with_camera")
+        cfg.sensor_config.camera_config = NavDepthCameraConfig()
+        return cfg
+    robot_registry.register("bench_quad_270x480", robot_270x480)
 
     env = SimBuilder().build_env(
         sim_name="base_sim", env_name="env_with_obstacles",
-        robot_name="base_quadrotor_with_camera",
+        robot_name="bench_quad_270x480",
         controller_name="lee_velocity_control",
         num_envs=num_envs, seed=0)
     env.reset()
