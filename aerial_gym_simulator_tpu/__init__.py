@@ -35,3 +35,5 @@ from .tasks import register_all as _register_tasks  # noqa: E402
 
 _register_configs()
 _register_tasks()
+
+from .sim.sim_builder import SimBuilder  # noqa: F401, E402
