@@ -86,6 +86,26 @@ class TofCameraConfig(BaseDepthCameraConfig):
 
 
 @dataclass
+class LuxonisOakDConfig(BaseDepthCameraConfig):
+    """Luxonis OAK-D stereo depth (reference luxonis_oak_d_config.py)."""
+    height: int = 270
+    width: int = 480
+    horizontal_fov_deg: float = 72.0
+    max_range: float = 12.0
+    min_range: float = 0.7
+
+
+@dataclass
+class LuxonisOakDProWConfig(BaseDepthCameraConfig):
+    """Luxonis OAK-D Pro W wide-FOV (reference luxonis_oak_d_pro_w_config.py)."""
+    height: int = 270
+    width: int = 480
+    horizontal_fov_deg: float = 127.0
+    max_range: float = 12.0
+    min_range: float = 0.2
+
+
+@dataclass
 class StereoCameraConfig(BaseDepthCameraConfig):
     """Stereo pair: right camera offset by baseline along sensor -y; returns
     disparity-consistent depth (reference warp_stereo_camera_kernels.py)."""
@@ -187,6 +207,43 @@ class OS2_128Config(BaseLidarConfig):
 
 
 @dataclass
+class OS2_64Config(BaseLidarConfig):
+    """Ouster OS2-64 (reference os2_64_config.py)."""
+    height: int = 64
+    width: int = 512
+    vertical_fov_deg_min: float = -11.25
+    vertical_fov_deg_max: float = 11.25
+    max_range: float = 200.0
+    min_range: float = 0.7
+
+
+@dataclass
+class PmdFlexx2Config(BaseLidarConfig):
+    """pmd flexx2 ToF flash lidar (reference pmd_flexx2_config.py)."""
+    height: int = 172
+    width: int = 224
+    horizontal_fov_deg_min: float = -28.0
+    horizontal_fov_deg_max: float = 28.0
+    vertical_fov_deg_min: float = -22.0
+    vertical_fov_deg_max: float = 22.0
+    max_range: float = 5.0
+    min_range: float = 0.2
+
+
+@dataclass
+class StVL53L5CXConfig(BaseLidarConfig):
+    """ST VL53L5CX 8x8 ToF (reference st_vl53l5cx_config.py)."""
+    height: int = 8
+    width: int = 8
+    horizontal_fov_deg_min: float = -45.0
+    horizontal_fov_deg_max: float = 45.0
+    vertical_fov_deg_min: float = -45.0
+    vertical_fov_deg_max: float = 45.0
+    max_range: float = 4.0
+    min_range: float = 0.2
+
+
+@dataclass
 class OSDome_64Config(BaseLidarConfig):
     """Dome lidar: upper hemisphere (reference osdome_64_config.py)."""
     height: int = 64
@@ -255,3 +312,33 @@ class BaseImuConfig:
     max_measurement_angular_velocity: float = 34.9
     world_frame: bool = False
     gravity_compensation: bool = False
+
+
+@dataclass
+class BoschBmi088Config(BaseImuConfig):
+    """Bosch BMI088 (reference bosch_bmi088_config.py noise data)."""
+    accel_noise_std: List[float] = field(
+        default_factory=lambda: [0.001569064, 0.001569064, 0.0018632635])
+    gyro_noise_std: List[float] = field(
+        default_factory=lambda: [0.0002443461, 0.0002443461, 0.0002443461])
+    accel_bias_std: List[float] = field(
+        default_factory=lambda: [0.001356466, 0.001356466, 0.001356466])
+    gyro_bias_std: List[float] = field(
+        default_factory=lambda: [1.43527e-05, 1.43527e-05, 1.43527e-05])
+    max_measurement_acceleration: float = 100.0
+    max_measurement_angular_velocity: float = 10.0
+
+
+@dataclass
+class VN100Config(BaseImuConfig):
+    """VectorNav VN-100 (reference vn100_config.py noise data)."""
+    accel_noise_std: List[float] = field(
+        default_factory=lambda: [0.001372931, 0.001372931, 0.001372931])
+    gyro_noise_std: List[float] = field(
+        default_factory=lambda: [6.1086524e-05, 6.1086524e-05, 6.1086524e-05])
+    accel_bias_std: List[float] = field(
+        default_factory=lambda: [9.7828128e-07, 9.7828128e-07, 9.7828128e-07])
+    gyro_bias_std: List[float] = field(
+        default_factory=lambda: [2.6541630e-05, 2.6541630e-05, 2.6541630e-05])
+    max_measurement_acceleration: float = 100.0
+    max_measurement_angular_velocity: float = 10.0
