@@ -36,17 +36,34 @@ def main():
     task.reset()
     actions = jnp.zeros((num_envs, 4), jnp.float32)
 
-    for _ in range(warmup):
-        task.step(actions)
-    jax.block_until_ready(task.state.pos)
+    # Scan a block of steps per dispatch, exactly like the PPO rollout does:
+    # per-step host round trips otherwise dominate (the TPU is reached over
+    # a tunnel; one RPC per 0.05 ms device step would measure the network).
+    block = 50
+    step_fn, carry, _obs = task.make_step_fn()
 
+    def run_block(c):
+        def body(c, _):
+            c, _o, r, _te, _tr = step_fn(c, actions)
+            return c, r.sum()
+        c, rs = jax.lax.scan(body, c, None, length=block)
+        return c, rs.sum()
+
+    run_block = jax.jit(run_block, donate_argnums=0)
+
+    carry, s = run_block(carry)
+    for _ in range(max(warmup // block, 2)):
+        carry, s = run_block(carry)
+    jax.block_until_ready(s)
+
+    n_blocks = max(steps // block, 1)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        task.step(actions)
-    jax.block_until_ready(task.state.pos)
+    for _ in range(n_blocks):
+        carry, s = run_block(carry)
+    jax.block_until_ready(s)
     dt = time.perf_counter() - t0
 
-    env_steps_per_s = steps * num_envs / dt
+    env_steps_per_s = n_blocks * block * num_envs / dt
     dt_sim = 0.01
     result = {
         "metric": f"env-steps/s (position_setpoint_task, {num_envs} envs, "
