@@ -87,12 +87,18 @@ class TofCameraConfig(BaseDepthCameraConfig):
 
 @dataclass
 class LuxonisOakDConfig(BaseDepthCameraConfig):
-    """Luxonis OAK-D stereo depth (reference luxonis_oak_d_config.py)."""
+    """Luxonis OAK-D stereo depth (reference luxonis_oak_d_config.py:
+    fixed mount, no segmentation, noise disabled)."""
     height: int = 270
     width: int = 480
     horizontal_fov_deg: float = 72.0
     max_range: float = 12.0
     min_range: float = 0.7
+    segmentation_camera: bool = False
+    randomize_placement: bool = False
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, pixel_dropout_prob=0.01))
 
 
 @dataclass
@@ -103,6 +109,11 @@ class LuxonisOakDProWConfig(BaseDepthCameraConfig):
     horizontal_fov_deg: float = 127.0
     max_range: float = 12.0
     min_range: float = 0.2
+    segmentation_camera: bool = False
+    randomize_placement: bool = False
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, pixel_dropout_prob=0.01))
 
 
 @dataclass
@@ -208,18 +219,25 @@ class OS2_128Config(BaseLidarConfig):
 
 @dataclass
 class OS2_64Config(BaseLidarConfig):
-    """Ouster OS2-64 (reference os2_64_config.py)."""
+    """Ouster OS2-64 (reference os2_64_config.py; noise disabled with the
+    reference's documented stds)."""
     height: int = 64
     width: int = 512
     vertical_fov_deg_min: float = -11.25
     vertical_fov_deg_max: float = 11.25
     max_range: float = 200.0
     min_range: float = 0.7
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.08287454e-06,
+            std_b=-4.07347360e-06, std_c=5.30757302e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
 
 
 @dataclass
 class PmdFlexx2Config(BaseLidarConfig):
-    """pmd flexx2 ToF flash lidar (reference pmd_flexx2_config.py)."""
+    """pmd flexx2 ToF flash lidar (reference pmd_flexx2_config.py:
+    no segmentation, wider mount ranges, noise disabled)."""
     height: int = 172
     width: int = 224
     horizontal_fov_deg_min: float = -28.0
@@ -228,11 +246,23 @@ class PmdFlexx2Config(BaseLidarConfig):
     vertical_fov_deg_max: float = 22.0
     max_range: float = 5.0
     min_range: float = 0.2
+    segmentation_camera: bool = False
+    min_translation: List[float] = field(
+        default_factory=lambda: [0.07, -0.06, 0.02])
+    max_translation: List[float] = field(
+        default_factory=lambda: [0.12, 0.03, 0.06])
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.08287454e-06,
+            std_b=-4.07347360e-06, std_c=5.30757302e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
 
 
 @dataclass
 class StVL53L5CXConfig(BaseLidarConfig):
-    """ST VL53L5CX 8x8 ToF (reference st_vl53l5cx_config.py)."""
+    """ST VL53L5CX 8x8 ToF (reference st_vl53l5cx_config.py: raw-meter
+    ranges with -1.0 out-of-range sentinel, fixed mount, no segmentation,
+    noise disabled)."""
     height: int = 8
     width: int = 8
     horizontal_fov_deg_min: float = -45.0
@@ -241,6 +271,14 @@ class StVL53L5CXConfig(BaseLidarConfig):
     vertical_fov_deg_max: float = 45.0
     max_range: float = 4.0
     min_range: float = 0.2
+    segmentation_camera: bool = False
+    normalize_range: bool = False
+    randomize_placement: bool = False
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.08287454e-06,
+            std_b=-4.07347360e-06, std_c=5.30757302e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
 
 
 @dataclass

@@ -94,9 +94,11 @@ class EnvManager:
         # env_actions buffer (dynamic obstacle twists)
         self.env_actions = None
         # latest sensor capture (filled by render(); reference
-        # global_tensor_dict["depth_range_pixels"])
+        # global_tensor_dict["depth_range_pixels"] / "segmentation_pixels")
         self._sensor_frames = None
+        self._sensor_seg = None
         self._jit_render = None
+        self._render_key = None
         self.reset()
 
     # -- core loop ---------------------------------------------------------
@@ -155,6 +157,8 @@ class EnvManager:
         obs["num_obstacles_in_env"] = self.state.num_obstacles
         if self._sensor_frames is not None:
             obs["depth_range_pixels"] = self._sensor_frames
+        if self._sensor_seg is not None:
+            obs["segmentation_pixels"] = self._sensor_seg
         return obs
 
     @property
@@ -164,15 +168,20 @@ class EnvManager:
     def render(self, render_components: str = "sensors"):
         """Capture the robot's exteroceptive sensor (reference
         EnvManager.render('sensors') -> capture_sensors); the frames land in
-        get_obs()["depth_range_pixels"]. No-op without a sensor."""
+        get_obs()["depth_range_pixels"] (+ "segmentation_pixels" when the
+        sensor produces one). Configured sensor noise IS applied — a fresh
+        capture key is drawn per call. No-op without a sensor."""
         if self.params.camera is None and self.params.lidar is None:
             return None
         if self._jit_render is None:
             from ..sensors.raycast_sensor import render_camera, render_lidar
             fn = render_camera if self.params.camera is not None else render_lidar
             params = self.params
-            self._jit_render = jax.jit(lambda s: fn(params, s)[0])
-        self._sensor_frames = self._jit_render(self.state)
+            self._jit_render = jax.jit(lambda s, k: fn(params, s, noise_key=k))
+            self._render_key = jax.random.PRNGKey(
+                self._py_rng.getrandbits(31))
+        self._render_key, k = jax.random.split(self._render_key)
+        self._sensor_frames, self._sensor_seg = self._jit_render(self.state, k)
         return self._sensor_frames
 
     def delete_env(self):

@@ -33,7 +33,6 @@ def main():
 
     task = ag.task_registry.make_task("position_setpoint_task",
                                       num_envs=num_envs, seed=0)
-    task.reset()
     actions = jnp.zeros((num_envs, 4), jnp.float32)
 
     # Scan a block of steps per dispatch, exactly like the PPO rollout does:

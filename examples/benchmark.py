@@ -50,7 +50,6 @@ def bench_render(num_envs: int, steps: int):
     from aerial_gym_simulator_tpu.config.sensor_config.sensor_configs import (
         NavDepthCameraConfig,
     )
-    from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
 
     # 270x480 depth camera — the reference benchmark's configuration
     def robot_270x480():
@@ -66,14 +65,13 @@ def bench_render(num_envs: int, steps: int):
         num_envs=num_envs, seed=0)
     env.reset()
     H, W = env.params.camera.height, env.params.camera.width
-    render = jax.jit(lambda s: render_camera(env.params, s)[0])
 
-    pixels = render(env.state)
+    pixels = env.render("sensors")
     jax.block_until_ready(pixels)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        pixels = render(env.state)
+        pixels = env.render("sensors")
     jax.block_until_ready(pixels)
     dt = time.perf_counter() - t0
 
