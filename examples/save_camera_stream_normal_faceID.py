@@ -11,7 +11,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-import aerial_gym_simulator_tpu as ag
+from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
 from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
     render_normal_faceid_camera,
 )
@@ -31,13 +31,16 @@ if __name__ == "__main__":
     args = p.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
 
-    task = ag.task_registry.make_task("navigation_task", num_envs=2, seed=11)
-    task.reset()
+    env = SimBuilder().build_env(
+        "base_sim", "env_with_obstacles", "base_quadrotor_with_camera",
+        "lee_velocity_control", num_envs=2, seed=11)
+    env.reset()
     fwd = jnp.tile(jnp.array([0.4, 0.0, 0.0, 0.0], jnp.float32), (2, 1))
+    import jax
+    capture = jax.jit(lambda s: render_normal_faceid_camera(env.params, s))
     for i in range(args.frames):
-        task.step(fwd)
-        depth, normals, face, seg = render_normal_faceid_camera(
-            task.params, task.state)
+        env.step(fwd)
+        depth, normals, face, seg = capture(env.state)
         n = np.asarray(normals[0])
         rgb = ((n * 0.5 + 0.5) * 255).astype(np.uint8)      # [-1,1] -> RGB
         save_ppm(os.path.join(args.out_dir, f"normal_{i:04d}.ppm"), rgb)
