@@ -21,6 +21,21 @@ import jax as _jax
 # difference is irrelevant; kernels that want bf16 opt in locally.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent jit cache for every surface (tasks, examples, training): the
+# fused navigation programs take minutes to compile cold; repeat runs load
+# from disk. Config updates do not initialize the XLA backend. Override the
+# location with AERIAL_GYM_TPU_JIT_CACHE (empty string disables).
+import os as _os
+
+_cache_dir = _os.environ.get("AERIAL_GYM_TPU_JIT_CACHE",
+                             "/tmp/aerial_gym_tpu_jit_cache")
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache
+
 from .registry.registries import (  # noqa: F401
     controller_registry,
     env_config_registry,
