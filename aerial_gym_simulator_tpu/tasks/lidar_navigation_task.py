@@ -345,7 +345,9 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
         pos_error_new = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)
         ns = LidarNavState(
             sim=sim, target_position=target, target_yaw=target_yaw,
-            pos_error_prev=pos_error_new, prev_action=action,
+            pos_error_prev=pos_error_new,
+            # reference zeroes robot_prev_actions on reset (reset_idx)
+            prev_action=jnp.where(done.astype(bool)[:, None], 0.0, action),
             lidar_obs=lidar_obs, ttc=ttc, key=key, curriculum_level=level,
             success_agg=s_agg, crash_agg=c_agg, timeout_agg=t_agg)
         infos = {"successes": successes, "timeouts": timeouts,

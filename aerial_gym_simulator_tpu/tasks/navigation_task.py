@@ -270,7 +270,8 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
         pos_error_new = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)
         ns = NavState(
             sim=sim, target_position=target, pos_error_prev=pos_error_new,
-            prev_action=action, latents=latents, key=key,
+            prev_action=jnp.where(done.astype(bool)[:, None], 0.0, action),
+            latents=latents, key=key,
             curriculum_level=level, success_agg=s_agg, crash_agg=c_agg,
             timeout_agg=t_agg)
         infos = {"successes": successes, "timeouts": timeouts,

@@ -400,7 +400,10 @@ def variant_task_step(params: SimParams, cfg: VariantTaskConfig,
     state = dynamics.post_reward_step(params, state)
 
     task_obs = _pack_obs(cfg, state, action, target_position, k_obs)
-    new_carry = VariantCarry(sim=state, prev_action=action, key=key)
+    # reference parity: prev_actions are zeroed for freshly reset envs
+    done = jnp.maximum(crashes, truncations)
+    prev_action = jnp.where(done.astype(bool)[:, None], 0.0, action)
+    new_carry = VariantCarry(sim=state, prev_action=prev_action, key=key)
     return new_carry, task_obs, reward, crashes, truncations
 
 
