@@ -40,7 +40,7 @@ from ..sim.sim_builder import SimBuilder
 from ..sim.structs import SimParams, SimState
 from ..utils.logging import CustomLogger
 from ..utils.math import interpolate_ratio, quat_apply_inverse, ssa
-from .navigation_task import CurriculumConfig
+from .navigation_task import CurriculumConfig, curriculum_update
 
 logger = CustomLogger("lidar_navigation_task")
 
@@ -291,23 +291,10 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
         successes = jnp.where(crashes > 0, 0.0, successes)
         timeouts = jnp.where(crashes > 0, 0.0, truncations * (1.0 - successes))
 
-        # curriculum aggregation (same machinery as the camera nav task)
-        s_agg = ns.success_agg + successes.sum()
-        c_agg = ns.crash_agg + crashes.sum()
-        t_agg = ns.timeout_agg + timeouts.sum()
-        instances = s_agg + c_agg + t_agg
-        do_update = instances >= cur.check_after_log_instances
-        success_rate = s_agg / jnp.maximum(instances, 1.0)
-        level = ns.curriculum_level
-        new_level = jnp.where(success_rate > cur.success_rate_for_increase,
-                              level + cur.increase_step,
-                              jnp.where(success_rate < cur.success_rate_for_decrease,
-                                        level - cur.decrease_step, level))
-        new_level = jnp.clip(new_level, cur.min_level, cur.max_level)
-        level = jnp.where(do_update, new_level, level)
-        s_agg = jnp.where(do_update, 0.0, s_agg)
-        c_agg = jnp.where(do_update, 0.0, c_agg)
-        t_agg = jnp.where(do_update, 0.0, t_agg)
+        # curriculum aggregation (shared with the camera nav task)
+        level, s_agg, c_agg, t_agg = curriculum_update(
+            cur, ns.curriculum_level, ns.success_agg, ns.crash_agg,
+            ns.timeout_agg, successes, crashes, timeouts)
 
         sim = sim.replace(
             crashes=crashes, truncations=truncations,

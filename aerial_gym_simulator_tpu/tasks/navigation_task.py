@@ -169,6 +169,31 @@ def compute_reward(rp: dict, pos_error, prev_pos_error, crashes, action,
     return reward
 
 
+
+def curriculum_update(cur: CurriculumConfig, level, s_agg, c_agg, t_agg,
+                      successes, crashes, timeouts):
+    """In-graph curriculum (reference check_and_update_curriculum_level):
+    accumulate success/crash/timeout counts; once enough episode outcomes
+    are logged, raise/lower the obstacle-count level by the success rate
+    and reset the aggregates. Pure; shared by the camera and lidar tasks."""
+    s_agg = s_agg + successes.sum()
+    c_agg = c_agg + crashes.sum()
+    t_agg = t_agg + timeouts.sum()
+    instances = s_agg + c_agg + t_agg
+    do_update = instances >= cur.check_after_log_instances
+    success_rate = s_agg / jnp.maximum(instances, 1.0)
+    new_level = jnp.where(success_rate > cur.success_rate_for_increase,
+                          level + cur.increase_step,
+                          jnp.where(success_rate < cur.success_rate_for_decrease,
+                                    level - cur.decrease_step, level))
+    new_level = jnp.clip(new_level, cur.min_level, cur.max_level)
+    level = jnp.where(do_update, new_level, level)
+    s_agg = jnp.where(do_update, 0.0, s_agg)
+    c_agg = jnp.where(do_update, 0.0, c_agg)
+    t_agg = jnp.where(do_update, 0.0, t_agg)
+    return level, s_agg, c_agg, t_agg
+
+
 def sample_targets(cfg: NavigationTaskConfig, sim: SimState, key):
     N = sim.pos.shape[0]
     u = jax.random.uniform(key, (N, 3), jnp.float32)
@@ -202,22 +227,9 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
                              truncations * (1.0 - successes))
 
         # ---- in-graph curriculum (reference check_and_update_curriculum) --
-        s_agg = ns.success_agg + successes.sum()
-        c_agg = ns.crash_agg + crashes.sum()
-        t_agg = ns.timeout_agg + timeouts.sum()
-        instances = s_agg + c_agg + t_agg
-        do_update = instances >= cur.check_after_log_instances
-        success_rate = s_agg / jnp.maximum(instances, 1.0)
-        level = ns.curriculum_level
-        new_level = jnp.where(success_rate > cur.success_rate_for_increase,
-                              level + cur.increase_step,
-                              jnp.where(success_rate < cur.success_rate_for_decrease,
-                                        level - cur.decrease_step, level))
-        new_level = jnp.clip(new_level, cur.min_level, cur.max_level)
-        level = jnp.where(do_update, new_level, level)
-        s_agg = jnp.where(do_update, 0.0, s_agg)
-        c_agg = jnp.where(do_update, 0.0, c_agg)
-        t_agg = jnp.where(do_update, 0.0, t_agg)
+        level, s_agg, c_agg, t_agg = curriculum_update(
+            cur, ns.curriculum_level, ns.success_agg, ns.crash_agg,
+            ns.timeout_agg, successes, crashes, timeouts)
 
         # ---- auto-reset with curriculum-sized obstacle count --------------
         sim = sim.replace(
