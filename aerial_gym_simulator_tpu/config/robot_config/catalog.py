@@ -67,6 +67,16 @@ def base_quadrotor_with_stereo_camera() -> RobotConfig:
     return cfg
 
 
+def base_quadrotor_with_faceid_normal_camera() -> RobotConfig:
+    """reference base_quad_config.py:220-223 BaseQuadWithFaceIDNormalCameraCfg:
+    base quad with the normal + face-id dataset camera."""
+    cfg = RobotConfig(name="base_quadrotor_with_faceid_normal_camera")
+    cfg.sensor_config.enable_camera = True
+    from ..sensor_config.sensor_configs import BaseNormalFaceIDCameraConfig
+    cfg.sensor_config.camera_config = BaseNormalFaceIDCameraConfig()
+    return cfg
+
+
 def base_quadrotor_root_link_control() -> RobotConfig:
     """Wrench applied at root link (reference base_quad_root_link_control_config)."""
     cfg = RobotConfig(name="base_quad_root_link_control")
@@ -390,6 +400,19 @@ def morphy_stiff() -> RobotConfig:
     return _morphy_base("morphy_stiff")
 
 
+def morphy_fixed_base() -> RobotConfig:
+    """reference morphy_config.py:211-225 MorphyFixedBaseCfg — morphy with
+    the root clamped (fix_base_link) and arms deterministically initialized
+    at 0.29 rad for arm sys-id."""
+    cfg = morphy()
+    cfg.name = "morphy_fixed_base"
+    cfg.robot_asset.fix_base_link = True
+    pinned = [0.29, 0.0] * 4
+    cfg.dof_config.init_state_min = [list(pinned), [0.0] * 8]
+    cfg.dof_config.init_state_max = [list(pinned), [0.0] * 8]
+    return cfg
+
+
 def register_robots(robot_registry):
     robot_registry.register("base_quadrotor", base_quadrotor)
     robot_registry.register("base_quadrotor_with_imu", base_quadrotor_with_imu)
@@ -398,6 +421,8 @@ def register_robots(robot_registry):
     robot_registry.register("base_quadrotor_with_lidar", base_quadrotor_with_lidar)
     robot_registry.register("base_quadrotor_with_stereo_camera",
                             base_quadrotor_with_stereo_camera)
+    robot_registry.register("base_quadrotor_with_faceid_normal_camera",
+                            base_quadrotor_with_faceid_normal_camera)
     robot_registry.register("base_quad_root_link_control", base_quadrotor_root_link_control)
     robot_registry.register("base_octarotor", base_octarotor)
     robot_registry.register("base_rov", base_rov)
@@ -413,3 +438,4 @@ def register_robots(robot_registry):
     robot_registry.register("snakey6", snakey6)
     robot_registry.register("morphy", morphy)
     robot_registry.register("morphy_stiff", morphy_stiff)
+    robot_registry.register("morphy_fixed_base", morphy_fixed_base)

@@ -130,6 +130,12 @@ def integrate_rigid_body(params: SimParams, state: SimState,
     rp = params.robot
     dt = params.dt
 
+    if rp.fix_base_link:
+        # Clamped root (reference AssetOptions.fix_base_link, used by
+        # morphy_fixed_base for arm sys-id): pose frozen, velocities zero.
+        return state.replace(linvel=jnp.zeros_like(state.linvel),
+                             angvel=jnp.zeros_like(state.angvel))
+
     force_w = quat_rotate(state.quat, force_b)
     accel = force_w / rp.mass
     if not rp.disable_gravity:  # asset disable_gravity flag (reference cfg)

@@ -111,6 +111,7 @@ def build_robot_params(robot_cfg: RobotConfig) -> RobotParams:
         enable_disturbance=dist.enable_disturbance,
         force_application_level=robot_cfg.control_allocator_config.force_application_level,
         disable_gravity=asset.disable_gravity,
+        fix_base_link=asset.fix_base_link,
     )
 
 

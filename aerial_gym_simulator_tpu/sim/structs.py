@@ -84,6 +84,10 @@ class RobotParams:
     enable_disturbance: bool = struct.field(pytree_node=False, default=False)
     force_application_level: str = struct.field(pytree_node=False, default="motor_link")
     disable_gravity: bool = struct.field(pytree_node=False, default=False)
+    # reference AssetOptions.fix_base_link (isaacgym_asset.py / morphy_config.py
+    # MorphyFixedBaseCfg): the root body is clamped in place; only joint DOFs
+    # (e.g. morphy arms under sys-id) integrate.
+    fix_base_link: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass

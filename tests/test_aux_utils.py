@@ -125,3 +125,30 @@ def test_collision_image_inflation(obstacle_env):
     # inflation can only bring surfaces closer (or create new hits)
     assert (infl[hit_both] <= raw[hit_both] + 1e-3).all()
     assert (infl < 900).sum() >= (raw < 900).sum()
+
+
+def test_bem_standalone_matches_momentum_balance():
+    """examples/bem_standalone.py (reference bem_standalone.ipynb parity):
+    hover thrust balances momentum theory at the solved induced velocity,
+    and spin direction flips lateral force / drag-torque signs."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import bem_standalone as bem
+
+    bp = bem.default_params()
+    force, torque = bem.bem_rotor_wrench(bp, 2000.0, 0.0, 0.0, 0.0, 0.0, 1.0)
+    force = np.asarray(force); torque = np.asarray(torque)
+    # oracle values from an independent scipy/fsolve solve of the paper
+    # equations at the notebook's example condition (omega=2000, hover)
+    np.testing.assert_allclose(force[2], -7.44396, rtol=1e-4)
+    np.testing.assert_allclose(torque[2], 0.101683, rtol=1e-4)
+    # the induced-velocity fixed point balances momentum theory against
+    # blade-element thrust (both evaluated at zero flapping, eq. 5 vs 13)
+    v_i = bem._solve_induced_velocity(bp, 2000.0, 0.0, 0.0)
+    t_mom = bem._momentum_thrust(bp, v_i, 0.0, 0.0)
+    t_bet, _, _ = bem._bet_integrals(bp, 2000.0, 0.0, 0.0, v_i,
+                                     0.0, 0.0, 0.0)
+    np.testing.assert_allclose(float(t_bet) / float(t_mom), 1.0, rtol=5e-3)
+    # counter-clockwise flips the aerodynamic torque sign
+    _, torque_ccw = bem.bem_rotor_wrench(bp, 2000.0, 0.0, 0.0, 0.0, 0.0, -1.0)
+    np.testing.assert_allclose(np.asarray(torque_ccw)[2], -torque[2], rtol=1e-5)

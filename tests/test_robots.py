@@ -26,6 +26,7 @@ def test_catalog_has_all_reference_robots():
         "base_quad_root_link_control", "base_octarotor", "base_rov",
         "base_random", "lmf1", "lmf2", "lmf2_radar", "x500", "tinyprop",
         "magpie", "snakey", "snakey5", "snakey6", "morphy", "morphy_stiff",
+        "morphy_fixed_base", "base_quadrotor_with_faceid_normal_camera",
     }
     assert expected <= set(robot_registry.get_names())
 
@@ -104,6 +105,26 @@ def test_morphy_passive_arm_settles():
     # and torque residual is ~zero at the equilibrium
     st2 = dynamics.integrate_dofs(params, st)
     np.testing.assert_allclose(np.asarray(st2.dof_pos), q, atol=1e-3)
+
+
+def test_morphy_fixed_base_root_is_clamped():
+    """morphy_fixed_base (reference MorphyFixedBaseCfg, morphy_config.py:211):
+    fix_base_link clamps the root pose; arms start pinned at 0.29 rad and
+    still integrate (the sys-id configuration)."""
+    env = build("morphy_fixed_base", "no_control")
+    env.reset()
+    pos0 = np.asarray(env.state.pos).copy()
+    quat0 = np.asarray(env.state.quat).copy()
+    np.testing.assert_allclose(
+        np.asarray(env.state.dof_pos), np.tile([0.29, 0.0], (4, 4)), atol=1e-6)
+    a = jnp.ones((4, env.params.motor.num_motors), jnp.float32)
+    for _ in range(10):
+        env.step(a)
+    np.testing.assert_allclose(np.asarray(env.state.pos), pos0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(env.state.quat), quat0, atol=1e-6)
+    assert np.all(np.asarray(env.state.linvel) == 0.0)
+    # passive arms respond (released from the pinned init toward equilibrium)
+    assert np.any(np.abs(np.asarray(env.state.dof_vel)) > 0.0)
 
 
 def test_rov_hydrodynamic_damping_and_gravity_compensation():
