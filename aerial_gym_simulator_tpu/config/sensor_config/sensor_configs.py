@@ -75,6 +75,12 @@ class RsD455Config(BaseDepthCameraConfig):
     min_range: float = 0.2
 
 
+# The reference ships the same sensor under two module/class names
+# (d455_depth_config.py RsD455Config and intel_realsense_d455_config.py
+# IntelRealSenseD455Config, byte-identical bodies) — keep both importable.
+IntelRealSenseD455Config = RsD455Config
+
+
 @dataclass
 class TofCameraConfig(BaseDepthCameraConfig):
     """ST VL53L5CX 8x8 ToF array (reference lmf_tof_camera_config.py)."""

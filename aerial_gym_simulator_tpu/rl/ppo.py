@@ -264,7 +264,14 @@ class PPOTrainer:
         action, _ = sample_action(mean, log_std, akey)
         return action
 
-    def train(self, total_env_steps: Optional[int] = None, log_every: int = 10):
+    def train(self, total_env_steps: Optional[int] = None, log_every: int = 10,
+              logdir: Optional[str] = None, track: Optional[str] = None):
+        """Run the training loop.
+
+        logdir/track: optional TensorBoard+JSONL (and wandb) metrics sink —
+        the reference analog of rl-games ``--track``/SummaryWriter
+        (reference rl_training/cleanrl/ppo_continuous_action.py:327-343).
+        """
         cfg = self.cfg
         total = total_env_steps or cfg.total_env_steps
         steps_per_iter = cfg.num_envs * cfg.horizon
@@ -272,6 +279,9 @@ class PPOTrainer:
 
         obs = self.obs
         env_carry = self.env_carry
+
+        from ..utils.metrics import MetricsWriter
+        writer = MetricsWriter(logdir, track=track)
 
         history = []
         t_start = time.perf_counter()
@@ -286,10 +296,12 @@ class PPOTrainer:
                 m["wall_s"] = time.perf_counter() - t_start
                 m["env_steps_per_s"] = m["env_steps"] / m["wall_s"]
                 history.append(m)
+                writer.write(m["env_steps"], m)
                 logger.info(
                     f"it {it:4d} steps {m['env_steps']:.2e} "
                     f"reward {m['reward_mean']:7.3f} crash {m['crash_rate']:.3f} "
                     f"sps {m['env_steps_per_s']:.0f} wall {m['wall_s']:.1f}s")
+        writer.close()
         self.env_carry = env_carry
         self.obs = obs
         if hasattr(self.task, "set_carry"):
@@ -319,6 +331,10 @@ def main():
                    help="shard the env axis over all visible devices")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize before building the mesh")
+    p.add_argument("--logdir", default=None,
+                   help="write TensorBoard + metrics.jsonl here")
+    p.add_argument("--track", default=None, choices=[None, "wandb"],
+                   help="additionally stream metrics to wandb")
     args = p.parse_args()
 
     # must run before ANY backend use — importing this package is kept free
@@ -340,7 +356,7 @@ def main():
     if args.multichip or args.multihost:
         from ..parallel.distributed import shard_trainer
         shard_trainer(trainer)
-    history = trainer.train()
+    history = trainer.train(logdir=args.logdir, track=args.track)
     print(f"final reward: {history[-1]['reward_mean']:.3f} "
           f"({history[-1]['wall_s']:.1f}s wall)")
 

@@ -74,6 +74,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--total_steps", type=int, default=None)
     p.add_argument("--play_steps", type=int, default=500)
+    p.add_argument("--logdir", default=None,
+                   help="TensorBoard + metrics.jsonl directory")
+    p.add_argument("--track", default=None, choices=[None, "wandb"],
+                   help="stream metrics to wandb (reference runner --track)")
     return p.parse_args(argv)
 
 
@@ -98,7 +102,8 @@ def run(args) -> dict:
         trainer.load_checkpoint(args.checkpoint)
 
     if args.train:
-        history = trainer.train()
+        history = trainer.train(logdir=getattr(args, "logdir", None),
+                                track=getattr(args, "track", None))
         ckpt = args.checkpoint or f"/tmp/{task_name}_ppo.ckpt"
         trainer.save_checkpoint(ckpt)
         return {"history": history, "checkpoint": ckpt}

@@ -56,3 +56,24 @@ def test_sample_factory_vec_env_numpy_interface():
     assert isinstance(obs["obs"], np.ndarray)
     obs, rew, term, trunc, infos = env.step(np.zeros((4, 4), np.float32))
     assert isinstance(rew, np.ndarray) and rew.shape == (4,)
+
+
+def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
+    """MetricsWriter (SURVEY section 5.5 parity): scalars fan out to
+    metrics.jsonl and TensorBoard event files."""
+    import json
+    from aerial_gym_simulator_tpu.utils.metrics import MetricsWriter
+
+    d = str(tmp_path / "run")
+    with MetricsWriter(d) as w:
+        w.write(100, {"reward_mean": 1.5, "crash_rate": 0.0})
+        w.write(200, {"reward_mean": 2.5, "crash_rate": 0.1})
+    lines = [json.loads(l) for l in open(d + "/metrics.jsonl")]
+    assert lines[0] == {"step": 100, "reward_mean": 1.5, "crash_rate": 0.0}
+    assert lines[1]["reward_mean"] == 2.5
+    import os
+    assert any(f.startswith("events.out.tfevents") for f in os.listdir(d))
+    # disabled writer is a no-op
+    w2 = MetricsWriter(None)
+    w2.write(1, {"x": 1.0})
+    w2.close()
