@@ -10,15 +10,26 @@ Checkpoint -> onboard inference chain:
      (sample_factory_inference.py:98-110)
   4. ``ros_node`` streams odometry -> observation -> action when rospy is
      available (reference sample_factory_ros_node.py)
+
+Migration from the reference framework: ``import_rl_games_policy`` /
+``import_sample_factory_policy`` convert the reference's shipped torch
+checkpoints (rl-games actor MLPs, sample-factory GRU navigation policies)
+into the same numpy-only deployment formats (torch needed once, at
+conversion time). ``NumpyRecurrentPolicy`` runs the recurrent ones.
 """
 
 from .numpy_policy import NumpyPolicy, export_policy_npz
 from .nn_inference_class import Sim2RealInferenceClass
 from .sample_factory_inference import RL_Nav_Interface
+from .torch_import import (NumpyRecurrentPolicy, import_rl_games_policy,
+                           import_sample_factory_policy)
 
 __all__ = [
     "NumpyPolicy",
     "export_policy_npz",
     "Sim2RealInferenceClass",
     "RL_Nav_Interface",
+    "NumpyRecurrentPolicy",
+    "import_rl_games_policy",
+    "import_sample_factory_policy",
 ]

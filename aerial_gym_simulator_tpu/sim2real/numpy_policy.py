@@ -56,7 +56,9 @@ def export_policy_npz(checkpoint_path: str, npz_path: str):
 
 
 def _elu(x):
-    return np.where(x > 0, x, np.expm1(x))
+    # expm1 only on the negative side (avoids overflow warnings from the
+    # unselected branch of np.where)
+    return np.where(x > 0, x, np.expm1(np.minimum(x, 0.0)))
 
 
 def _tanh(x):
@@ -75,6 +77,9 @@ class NumpyPolicy:
         self.normalize_obs = bool(data["normalize_obs"])
         self.norm_mean = data["norm_mean"].astype(np.float32)
         self.norm_var = data["norm_var"].astype(np.float32)
+        # normalizer epsilon is format-dependent: our RunningMeanStd uses
+        # 1e-8, rl-games' uses 1e-5 — imported archives carry their own
+        self.norm_eps = float(data["norm_eps"]) if "norm_eps" in data else 1e-8
         self.layers = []
         i = 0
         while f"W{i}" in data:
@@ -94,7 +99,7 @@ class NumpyPolicy:
             x = x[None]
         if self.normalize_obs:
             x = np.clip((x - self.norm_mean)
-                        / np.sqrt(self.norm_var + 1e-8), -5.0, 5.0)
+                        / np.sqrt(self.norm_var + self.norm_eps), -5.0, 5.0)
         *hidden_layers, (W_out, b_out) = self.layers
         for W, b in hidden_layers:
             x = self.act(x @ W + b)

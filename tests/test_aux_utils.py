@@ -152,3 +152,102 @@ def test_bem_standalone_matches_momentum_balance():
     # counter-clockwise flips the aerodynamic torque sign
     _, torque_ccw = bem.bem_rotor_wrench(bp, 2000.0, 0.0, 0.0, 0.0, 0.0, -1.0)
     np.testing.assert_allclose(np.asarray(torque_ccw)[2], -torque[2], rtol=1e-5)
+
+
+def _make_rl_games_ckpt(path, obs_dim=13, act_dim=4):
+    import torch
+    g = torch.Generator().manual_seed(3)
+    dims = [obs_dim, 32, 16, act_dim]
+    sd = {}
+    for j, i in enumerate((0, 2)):
+        sd[f"a2c_network.actor_mlp.{i}.weight"] = torch.randn(
+            dims[j + 1], dims[j], generator=g)
+        sd[f"a2c_network.actor_mlp.{i}.bias"] = torch.randn(
+            dims[j + 1], generator=g)
+    sd["a2c_network.mu.weight"] = torch.randn(act_dim, 16, generator=g)
+    sd["a2c_network.mu.bias"] = torch.randn(act_dim, generator=g)
+    sd["a2c_network.sigma"] = torch.zeros(act_dim)
+    sd["running_mean_std.running_mean"] = torch.randn(obs_dim, generator=g)
+    sd["running_mean_std.running_var"] = torch.rand(obs_dim, generator=g) + 0.5
+    torch.save({"model": sd}, path)
+    return sd
+
+
+def test_import_rl_games_policy_matches_torch(tmp_path):
+    """torch_import (migration from reference rl_games_example networks):
+    converted NumpyPolicy reproduces the torch actor forward exactly."""
+    import torch
+    import torch.nn.functional as F
+    from aerial_gym_simulator_tpu.sim2real import (NumpyPolicy,
+                                                   import_rl_games_policy)
+
+    pth = str(tmp_path / "p.pth"); npz = str(tmp_path / "p.npz")
+    sd = _make_rl_games_ckpt(pth)
+    import_rl_games_policy(pth, npz)
+    pol = NumpyPolicy(npz)
+
+    x = np.random.RandomState(0).randn(6, 13).astype(np.float32)
+    t = (torch.tensor(x) - sd["running_mean_std.running_mean"]) / torch.sqrt(
+        sd["running_mean_std.running_var"] + 1e-5)
+    t = torch.clamp(t, -5, 5).float()
+    with torch.no_grad():
+        for i in (0, 2):
+            t = F.elu(F.linear(t, sd[f"a2c_network.actor_mlp.{i}.weight"],
+                               sd[f"a2c_network.actor_mlp.{i}.bias"]))
+        mu = F.linear(t, sd["a2c_network.mu.weight"],
+                      sd["a2c_network.mu.bias"])
+    np.testing.assert_allclose(pol(x), mu.numpy(), rtol=1e-5, atol=1e-4)
+
+
+def test_import_sample_factory_policy_matches_torch_gru(tmp_path):
+    """Recurrent sample-factory import: numpy GRU matches torch.nn.GRU
+    across carried steps, and reset() zeroes selected env states."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+    from aerial_gym_simulator_tpu.sim2real import (
+        NumpyRecurrentPolicy, import_sample_factory_policy)
+
+    obs_dim, hid, act = 9, 8, 4
+    g = torch.Generator().manual_seed(5)
+    sd = {
+        "encoder.encoders.obs.mlp_head.0.weight": torch.randn(hid, obs_dim, generator=g),
+        "encoder.encoders.obs.mlp_head.0.bias": torch.randn(hid, generator=g),
+        "core.core.weight_ih_l0": torch.randn(3 * hid, hid, generator=g),
+        "core.core.weight_hh_l0": torch.randn(3 * hid, hid, generator=g),
+        "core.core.bias_ih_l0": torch.randn(3 * hid, generator=g),
+        "core.core.bias_hh_l0": torch.randn(3 * hid, generator=g),
+        "action_parameterization.distribution_linear.weight":
+            torch.randn(2 * act, hid, generator=g),
+        "action_parameterization.distribution_linear.bias":
+            torch.randn(2 * act, generator=g),
+    }
+    pth = str(tmp_path / "sf.pth"); npz = str(tmp_path / "sf.npz")
+    torch.save({"model": sd}, pth)
+    import_sample_factory_policy(pth, npz)
+    pol = NumpyRecurrentPolicy(npz, num_envs=3)
+    assert pol.action_dim == act and pol.recurrent
+
+    gru = nn.GRU(hid, hid)
+    gru.weight_ih_l0.data = sd["core.core.weight_ih_l0"]
+    gru.weight_hh_l0.data = sd["core.core.weight_hh_l0"]
+    gru.bias_ih_l0.data = sd["core.core.bias_ih_l0"]
+    gru.bias_hh_l0.data = sd["core.core.bias_hh_l0"]
+
+    obs = np.random.RandomState(2).randn(3, obs_dim).astype(np.float32)
+    h = torch.zeros(1, 3, hid)
+    with torch.no_grad():
+        enc = F.elu(F.linear(torch.tensor(obs),
+                             sd["encoder.encoders.obs.mlp_head.0.weight"],
+                             sd["encoder.encoders.obs.mlp_head.0.bias"]))
+        for step in range(3):
+            out, h = gru(enc[None], h)
+            mu = F.linear(out[0],
+                          sd["action_parameterization.distribution_linear.weight"],
+                          sd["action_parameterization.distribution_linear.bias"]
+                          )[:, :act]
+            np.testing.assert_allclose(pol(obs), mu.numpy(), atol=2e-5)
+    # selective reset: env 1 state zeroed -> matches a fresh policy's step-1
+    pol.reset([1])
+    fresh = NumpyRecurrentPolicy(npz, num_envs=3)
+    np.testing.assert_allclose(pol(obs)[1], fresh(obs)[1], atol=2e-5)
