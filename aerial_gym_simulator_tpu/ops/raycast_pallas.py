@@ -9,10 +9,13 @@ rotated to world in-kernel from the sensor quaternion — no (N, R, 3)
 world-ray arrays ever touch HBM; traffic is O(prim tables + output images).
 
 Layout:
-  grid = (num_envs, ray_tiles); ray tile = (8, 128) = 1024 rays.
+  grid = (num_envs, ray_tiles); ray tile = (32, 128) = 4096 rays.
   dirs/mult: (ray_rows, 128) f32 static tables (sensor frame).
-  pose:  (N, 8)   [ox oy oz qx qy qz qw pad]      -> SMEM
-  prims: (N, P, 16) [sx sy sz px py pz r00..r22 sem pad pad] -> SMEM
+  pose:  (N, 1, 8)  [ox oy oz qx qy qz qw pad]      -> SMEM
+  prims: (N, P, 19) [sx sy sz px py pz r00..r22 sem rox roy roz] -> SMEM
+         (rox..roz = sensor origin pre-transformed into the prim frame)
+  mask:  (N*T, 1, P) i32 broad-phase visibility   -> SMEM
+         (range + per-tile view-cone tests, precomputed on the VPU)
   out:   depth (N, ray_rows, 128) f32, seg (N, ray_rows, 128) i32.
 """
 
@@ -58,7 +61,7 @@ def _safe_inv(x):
 def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
     P = n_box + n_cyl + n_sph
 
-    def kernel(pose_ref, prim_ref, dx_ref, dy_ref, dz_ref, mult_ref,
+    def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
                depth_ref, seg_ref, t_scr, s_scr):
         ox = pose_ref[0, 0, 0]
         oy = pose_ref[0, 0, 1]
@@ -76,37 +79,28 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
                             float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
 
         def in_reach(p):
-            """Scalar broad phase: can this primitive possibly be hit?
+            """Scalar broad phase: one SMEM read per primitive.
 
-            Skips culled obstacles (parked at -1000 by the curriculum,
-            reference asset_manager.py:72 teleport) and anything farther
-            than max_range + bound. bound = sx+sy+sz is a cheap safe
-            over-estimate of every primitive's bounding radius.
+            The mask is precomputed OUTSIDE the kernel in vectorized JAX
+            (see _broadphase_mask): range test (skips obstacles parked at
+            -1000 by the curriculum, reference asset_manager.py:72, and
+            anything beyond max_range) AND a per-TILE view-cone test
+            (camera tiles cover a narrow image strip; primitives behind or
+            off-screen skip the whole vector narrow phase). Doing the math
+            on the VPU outside keeps the kernel's scalar core free.
             """
-            px = prim_ref[0, p, 3]
-            py = prim_ref[0, p, 4]
-            pz = prim_ref[0, p, 5]
-            bound = (prim_ref[0, p, 0] + prim_ref[0, p, 1]
-                     + prim_ref[0, p, 2])
-            dxo, dyo, dzo = ox - px, oy - py, oz - pz
-            d2 = dxo * dxo + dyo * dyo + dzo * dzo
-            reach = max_range + bound
-            return d2 < reach * reach
+            return mask_ref[0, 0, p] != 0
 
         def prim_common(p):
             sx = prim_ref[0, p, 0]
             sy = prim_ref[0, p, 1]
             sz = prim_ref[0, p, 2]
-            px = prim_ref[0, p, 3]
-            py = prim_ref[0, p, 4]
-            pz = prim_ref[0, p, 5]
             r = [prim_ref[0, p, 6 + k] for k in range(9)]
             sem = prim_ref[0, p, 15]
-            # origin in prim frame: R^T (o - p)  (scalar math)
-            rx_, ry_, rz_ = ox - px, oy - py, oz - pz
-            rox = r[0] * rx_ + r[3] * ry_ + r[6] * rz_
-            roy = r[1] * rx_ + r[4] * ry_ + r[7] * rz_
-            roz = r[2] * rx_ + r[5] * ry_ + r[8] * rz_
+            # origin in prim frame: precomputed outside (R^T (o - p))
+            rox = prim_ref[0, p, 16]
+            roy = prim_ref[0, p, 17]
+            roz = prim_ref[0, p, 18]
             # dirs in prim frame: R^T d (tile math)
             rdx = r[0] * dxw + r[3] * dyw + r[6] * dzw
             rdy = r[1] * dxw + r[4] * dyw + r[7] * dzw
@@ -168,9 +162,15 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
             update(t, sem)
 
         def sph_body(i):
+            # spheres are rotation-invariant: intersect in WORLD frame with
+            # the already-rotated tile dirs — skips the 15-op R^T rotation
             p = n_box + n_cyl + i
-            (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
-            radius = sx
+            radius = prim_ref[0, p, 0]
+            sem = prim_ref[0, p, 15]
+            rox = ox - prim_ref[0, p, 3]
+            roy = oy - prim_ref[0, p, 4]
+            roz = oz - prim_ref[0, p, 5]
+            rdx, rdy, rdz = dxw, dyw, dzw
             b = rox * rdx + roy * rdy + roz * rdz
             c = rox * rox + roy * roy + roz * roz - radius * radius
             disc = b * b - c
@@ -247,8 +247,9 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     R = dirs.shape[0]
     R_pad = ((R + TILE_RAYS - 1) // TILE_RAYS) * TILE_RAYS
     pad = R_pad - R
-    dirs_p = jnp.pad(dirs, ((0, pad), (0, 0)))
-    # avoid zero-length dirs in padding (harmless either way)
+    # pad with the last real direction: keeps the per-tile direction cone
+    # tight (zero-padding would widen the final tile's cone to 90 degrees)
+    dirs_p = jnp.pad(dirs, ((0, pad), (0, 0)), mode="edge")
     mult_p = jnp.pad(mult, (0, pad))
     rows = R_pad // _LANES
     dx = dirs_p[:, 0].reshape(rows, _LANES)
@@ -260,6 +261,49 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     tiles = rows // _TILE_ROWS
     grid = (N, tiles)
 
+    # ---- vectorized broad phase + origin pre-transform (VPU, not the
+    # kernel's scalar core) -------------------------------------------------
+    from ..utils.math import quat_rotate
+
+    origin = pose[:, 0, 0:3]                                   # (N, 3)
+    quat = pose[:, 0, 3:7]                                     # (N, 4)
+
+    # per-tile bounding cone of ray directions (sensor frame): axis =
+    # normalized mean dir; half-angle = max angle from axis over the tile.
+    dirs_t = dirs_p.reshape(tiles, TILE_RAYS, 3)
+    unit = dirs_t / jnp.maximum(
+        jnp.linalg.norm(dirs_t, axis=-1, keepdims=True), 1e-12)
+    axis = jnp.sum(unit, axis=1)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
+                              1e-12)
+    cos_half = jnp.clip(jnp.min(jnp.einsum("tj,trj->tr", axis, unit),
+                                axis=1), -1.0, 1.0)
+    sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 0.0))
+
+    centers = prims[:, :, 3:6]                                 # (N, P, 3)
+    bound = jnp.sum(prims[:, :, 0:3], axis=-1)                 # (N, P)
+    u = centers - origin[:, None, :]                           # (N, P, 3)
+    d2 = jnp.sum(u * u, axis=-1)                               # (N, P)
+    reach = max_range + bound
+    in_range = d2 < reach * reach                              # (N, P)
+    # cone axes to world per env: (N, T, 3)
+    axis_w = quat_rotate(quat[:, None, :], axis[None, :, :])
+    along = jnp.einsum("ntj,npj->ntp", axis_w, u)              # (N, T, P)
+    perp = jnp.sqrt(jnp.maximum(d2[:, None, :] - along * along, 0.0))
+    # signed distance of the bounding-sphere center to the cone boundary
+    # (exact for along >= 0, conservative behind the apex; degenerates to
+    # always-true for 360-degree sensors where cos=-1, sin=0)
+    visible = (perp * cos_half[None, :, None]
+               - along * sin_half[None, :, None]) <= bound[:, None, :]
+    mask = (in_range[:, None, :] & visible).astype(jnp.int32)  # (N, T, P)
+    mask = mask.reshape(N * tiles, 1, P)
+
+    # prim-frame sensor origin R^T (o - p): appended to the prim table so
+    # the kernel skips 12 scalar ops per primitive (note o - p = -u)
+    R_w = prims[:, :, 6:15].reshape(N, P, 3, 3)
+    ro = jnp.einsum("npji,npj->npi", R_w, -u)   # R^T (o-p), R row-major
+    prims = jnp.concatenate([prims, ro], axis=-1)              # (N, P, 19)
+
     kernel = _make_kernel(n_box, n_cyl, n_sph, max_range)
     depth, seg = pl.pallas_call(
         kernel,
@@ -267,7 +311,9 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda e, j: (e, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P, 16), lambda e, j: (e, 0, 0),
+            pl.BlockSpec((1, P, 19), lambda e, j: (e, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, P), lambda e, j, T=tiles: (e * T + j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((_TILE_ROWS, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -293,7 +339,7 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
             pltpu.VMEM((_TILE_ROWS, _LANES), jnp.float32),   # seg_best
         ],
         interpret=interpret,
-    )(pose, prims, dx, dy, dz, mt)
+    )(pose, prims, mask, dx, dy, dz, mt)
 
     depth = depth.reshape(N, R_pad)[:, :R]
     seg = seg.reshape(N, R_pad)[:, :R]
