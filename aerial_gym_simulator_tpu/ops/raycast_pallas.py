@@ -9,7 +9,7 @@ rotated to world in-kernel from the sensor quaternion — no (N, R, 3)
 world-ray arrays ever touch HBM; traffic is O(prim tables + output images).
 
 Layout:
-  grid = (num_envs, ray_tiles); ray tile = (32, 128) = 4096 rays.
+  grid = (num_envs, ray_tiles); ray tile = (64, 128) = 8192 rays.
   dirs/mult: (ray_rows, 128) f32 static tables (sensor frame).
   pose:  (N, 1, 8)  [ox oy oz qx qy qz qw pad]      -> SMEM
   prims: (N, P, 19) [sx sy sz px py pz r00..r22 sem rox roy roz] -> SMEM
@@ -33,10 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .raycast import NO_HIT_RAY_VAL, NO_HIT_SEGMENTATION_VAL
 
 _BIG = 1e10
-# 32x128 = 4096 rays per kernel instance: amortizes the per-primitive scalar
-# work (SMEM reads + origin transform) over 4x more rays than the minimum
-# f32 tile, while staying far under VMEM limits.
-_TILE_ROWS = 32
+# 64x128 = 8192 rays per kernel instance: amortizes the per-primitive scalar
+# work (SMEM reads + per-prim dir rotation setup) over many rays while the
+# per-tile view cone stays tight enough to cull (measured optimum on TPU:
+# 16 rows 41.3 ms, 32 rows 32.5 ms, 64 rows 29.3 ms, 128 rows 32.2 ms for
+# 1024 envs x 135x240 over the obstacle scene).
+_TILE_ROWS = 64
 _LANES = 128
 TILE_RAYS = _TILE_ROWS * _LANES
 
@@ -281,7 +283,19 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     sin_half = jnp.sqrt(jnp.maximum(1.0 - cos_half * cos_half, 0.0))
 
     centers = prims[:, :, 3:6]                                 # (N, P, 3)
-    bound = jnp.sum(prims[:, :, 0:3], axis=-1)                 # (N, P)
+    # exact bounding-sphere radius per primitive kind (kind = static index
+    # range): box half-diagonal, cylinder corner radius, sphere radius —
+    # much tighter than the old sx+sy+sz over-estimate, so range and cone
+    # culling both bite harder at zero runtime cost
+    sx, sy, sz = prims[:, :, 0], prims[:, :, 1], prims[:, :, 2]
+    r_box = 0.5 * jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    r_cyl = jnp.sqrt(sx * sx + 0.25 * sy * sy)
+    kind = np.zeros((P,), np.int32)
+    kind[n_box:n_box + n_cyl] = 1
+    kind[n_box + n_cyl:] = 2
+    kind = jnp.asarray(kind)[None, :]
+    bound = jnp.where(kind == 0, r_box,
+                      jnp.where(kind == 1, r_cyl, sx))         # (N, P)
     u = centers - origin[:, None, :]                           # (N, P, 3)
     d2 = jnp.sum(u * u, axis=-1)                               # (N, P)
     reach = max_range + bound
