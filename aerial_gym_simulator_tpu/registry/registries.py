@@ -65,13 +65,15 @@ class TaskRegistry:
         return self._tasks[name][1]()
 
     def make_task(self, task_name: str, seed=None, num_envs=None, headless=None,
-                  use_warp=None, **kwargs):
+                  use_warp=None, task_config=None, **kwargs):
+        """task_config overrides the registered config instance (pass a
+        modified copy from get_task_config() for one-off customization)."""
         if task_name not in self._tasks:
             raise KeyError(
                 f"unknown task '{task_name}'; registered: {sorted(self._tasks)}"
             )
         task_class, config_factory = self._tasks[task_name]
-        config = config_factory()
+        config = task_config if task_config is not None else config_factory()
         return task_class(config, seed=seed, num_envs=num_envs,
                           headless=headless, use_warp=use_warp, **kwargs)
 

@@ -80,6 +80,10 @@ class NavigationTaskConfig:
     latent_dim: int = 64
     use_vae: bool = True
     vae_params_path: Optional[str] = None
+    # .pth from the reference framework's torch VAE (utils/vae/VAE.py) —
+    # imported via models/torch_vae_import; takes precedence over
+    # vae_params_path when set
+    torch_vae_path: Optional[str] = None
     curriculum: CurriculumConfig = field(default_factory=CurriculumConfig)
     reward_parameters: dict = field(default_factory=lambda: {
         "pos_reward_magnitude": 5.0,
@@ -320,15 +324,22 @@ class NavigationTask:
 
         self.vae = None
         if cfg.use_vae and self.params.camera is not None:
-            vae_params = None
-            if cfg.vae_params_path:
-                import pickle
-                with open(cfg.vae_params_path, "rb") as f:
-                    vae_params = pickle.load(f)
-            self.vae = VAEImageEncoder(latent_dim=cfg.latent_dim,
-                                       image_res=(self.params.camera.height,
-                                                  self.params.camera.width),
-                                       params=vae_params, seed=cfg.seed)
+            if getattr(cfg, "torch_vae_path", None):
+                # weights trained in the reference framework (torch)
+                from ..models.torch_vae_import import TorchVAEImageEncoder
+                self.vae = TorchVAEImageEncoder(
+                    cfg.torch_vae_path, latent_dim=cfg.latent_dim)
+            else:
+                vae_params = None
+                if cfg.vae_params_path:
+                    import pickle
+                    with open(cfg.vae_params_path, "rb") as f:
+                        vae_params = pickle.load(f)
+                self.vae = VAEImageEncoder(
+                    latent_dim=cfg.latent_dim,
+                    image_res=(self.params.camera.height,
+                               self.params.camera.width),
+                    params=vae_params, seed=cfg.seed)
 
         self._nav_step = jax.jit(make_nav_step(self.params, cfg, self.vae),
                                  donate_argnums=(0,))
