@@ -1,3 +1,4 @@
 from .offline_viewer import OfflineViewer
+from .live_viewer import LiveViewer
 
-__all__ = ["OfflineViewer"]
+__all__ = ["OfflineViewer", "LiveViewer"]

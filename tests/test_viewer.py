@@ -54,3 +54,45 @@ def test_viewer_chase_camera_centers_robot():
     sem = np.asarray(sem)
     assert int((sem == -10).sum()) > 0
     assert sem[30, 40] == -10
+
+
+def test_live_viewer_keymap_and_stepping():
+    """LiveViewer (reference IGE_viewer_control key semantics): pause stops
+    stepping, [ / ] cycle the tracked env, F toggles camera mode, R resets,
+    S toggles sync, Q quits; step_once returns frames when due."""
+    from aerial_gym_simulator_tpu.viewer import LiveViewer
+
+    env = SimBuilder().build_env("base_sim", "empty_env", "base_quadrotor",
+                                 "lee_attitude_control", num_envs=4, seed=0)
+    env.reset()
+    lv = LiveViewer(env, width=64, height=48, backend="Agg")
+
+    frame = lv.step_once()
+    assert frame is not None and frame.shape == (48, 64, 3)
+
+    lv.on_key("p")
+    pos_before = np.asarray(env.state.pos).copy()
+    lv.step_once()
+    np.testing.assert_array_equal(np.asarray(env.state.pos), pos_before)
+    lv.on_key(" ")          # unpause
+    lv.step_once()
+    assert not np.array_equal(np.asarray(env.state.pos), pos_before)
+
+    lv.on_key("]")
+    assert lv.env_index == 1 and lv.viewer.env_id == 1
+    lv.on_key("[")
+    lv.on_key("[")
+    assert lv.env_index == 3          # wraps around
+
+    assert lv.viewer.mode == "follow_robot"
+    lv.on_key("f")
+    assert lv.viewer.mode == "fixed"
+
+    lv.on_key("s")                    # sync off -> frames only every Nth
+    lv._frame_i = 0
+    assert lv.step_once() is None     # frame 1, render_every=2
+    assert lv.step_once() is not None
+
+    lv.on_key("r")                    # reset-all executes without error
+    lv.on_key("q")
+    assert lv.quit
