@@ -53,6 +53,12 @@ class PPOConfig:
     normalize_obs: bool = True
     reward_scale: float = 0.1
     seed: int = 42
+    # matmul precision for the whole train step (policy inference + grads).
+    # TPU f32 matmuls decompose into multiple bf16 passes; "bfloat16" runs
+    # the MXU natively (~3x on the small MLP grads that dominate the
+    # update) with f32 accumulation — well within PPO's noise floor.
+    # Set "highest" for full f32.
+    matmul_precision: str = "bfloat16"
 
 
 class RunningMeanStd:
@@ -139,6 +145,10 @@ def make_train_step(step_fn, cfg: PPOConfig):
         return total, (pg_loss, v_loss, ent)
 
     def train_step(ts: TrainState, env_carry, obs, key, norm):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _train_step_body(ts, env_carry, obs, key, norm)
+
+    def _train_step_body(ts: TrainState, env_carry, obs, key, norm):
         # ---- rollout (scan over fused env step) --------------------------
         (ts, env_carry, obs, key, norm), traj = jax.lax.scan(
             env_step, (ts, env_carry, obs, key, norm), None, length=T)
@@ -153,22 +163,38 @@ def make_train_step(step_fn, cfg: PPOConfig):
         adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
 
         flat = lambda x: x.reshape((batch,) + x.shape[2:])
-        data = (flat(norm_obs_t), flat(actions_t), flat(logps_t),
-                flat(values_t), flat(adv_t), flat(ret_t))
+        # Pack every per-sample array into ONE (batch, D) matrix so the
+        # per-epoch shuffle is a single wide row-gather. Gathering the 1-D
+        # arrays (logp/value/adv/ret) separately is catastrophically slow on
+        # TPU (~280 MB/s measured: 262144 single-float random fetches each);
+        # one row-gather of contiguous D-float rows runs orders of magnitude
+        # faster and cut the 8192-env position-PPO update from ~28 ms/epoch
+        # to ~1 ms/epoch.
+        obs_dim = norm_obs_t.shape[-1]
+        act_dim = actions_t.shape[-1]
+        data2d = jnp.concatenate(
+            [flat(norm_obs_t), flat(actions_t), flat(logps_t)[:, None],
+             flat(values_t)[:, None], flat(adv_t)[:, None],
+             flat(ret_t)[:, None]], axis=1)
+
+        def unpack(mb):
+            o = mb[:, :obs_dim]
+            a = mb[:, obs_dim:obs_dim + act_dim]
+            rest = mb[:, obs_dim + act_dim:]
+            return o, a, rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3]
 
         # ---- PPO epochs ---------------------------------------------------
         def epoch(carry, _):
             ts, key = carry
             key, pkey = jax.random.split(key)
             perm = jax.random.permutation(pkey, batch)
-            shuffled = tuple(x[perm] for x in data)
+            shuffled = data2d[perm]
 
             def minibatch(ts, mb_idx):
-                mb = tuple(
-                    jax.lax.dynamic_slice_in_dim(x, mb_idx * cfg.minibatch_size,
-                                                 cfg.minibatch_size, axis=0)
-                    for x in shuffled)
-                obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb = mb
+                mb = jax.lax.dynamic_slice_in_dim(
+                    shuffled, mb_idx * cfg.minibatch_size,
+                    cfg.minibatch_size, axis=0)
+                obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb = unpack(mb)
                 if cfg.normalize_advantage:
                     adv_mb = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
                 mb = (obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb)
