@@ -15,6 +15,7 @@ params replicated; XLA inserts the gradient all-reduce (see parallel/).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass
 from typing import Any, Optional, Tuple
@@ -277,6 +278,38 @@ class PPOTrainer:
         self.train_state = self.train_state.replace(params=params)
         self.norm = {k: jnp.asarray(v) for k, v in blob["norm"].items()}
         logger.info(f"checkpoint loaded from {path}")
+
+    def save_checkpoint_orbax(self, dir_path: str):
+        """Orbax checkpoint of the learner pytree (SURVEY 5.4 build
+        equivalent) — the multi-host-safe TPU-native format: every host
+        participates in the save, arrays stream without a pickle round
+        trip, and restore works across topologies."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(dir_path),
+                   {"params": self.train_state.params,
+                    "opt_state": self.train_state.opt_state,
+                    "step": self.train_state.step,
+                    "norm": dict(self.norm)},
+                   force=True)
+        ckptr.wait_until_finished()
+        logger.info(f"orbax checkpoint saved to {dir_path}")
+
+    def load_checkpoint_orbax(self, dir_path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        target = {"params": self.train_state.params,
+                  "opt_state": self.train_state.opt_state,
+                  "step": self.train_state.step,
+                  "norm": dict(self.norm)}
+        restored = ckptr.restore(os.path.abspath(dir_path), target)
+        self.train_state = self.train_state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"])
+        self.norm = restored["norm"]
+        logger.info(f"orbax checkpoint loaded from {dir_path}")
 
     def act(self, obs, deterministic: bool = True):
         """Policy inference (used by play mode + sim2real deployment)."""

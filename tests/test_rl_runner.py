@@ -77,3 +77,30 @@ def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
     w2 = MetricsWriter(None)
     w2.write(1, {"x": 1.0})
     w2.close()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax learner checkpoint (SURVEY section 5.4): save -> perturb ->
+    restore reproduces params, optimizer state and obs-normalizer."""
+    import jax
+    import jax.numpy as jnp
+
+    import aerial_gym_simulator_tpu as ag
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                      seed=0)
+    tr = PPOTrainer(task, PPOConfig(num_envs=8, horizon=4, minibatch_size=32,
+                                    seed=0))
+    obs = np.random.RandomState(0).randn(3, 13).astype(np.float32)
+    a_before = np.asarray(tr.act(jnp.asarray(obs)))
+    d = str(tmp_path / "orbax_ckpt")
+    tr.save_checkpoint_orbax(d)
+
+    # perturb the live state, then restore
+    tr.train_state = tr.train_state.replace(
+        params=jax.tree.map(lambda x: x + 1.0, tr.train_state.params))
+    assert not np.allclose(np.asarray(tr.act(jnp.asarray(obs))), a_before)
+    tr.load_checkpoint_orbax(d)
+    np.testing.assert_allclose(np.asarray(tr.act(jnp.asarray(obs))),
+                               a_before, atol=1e-6)
