@@ -34,6 +34,39 @@ def simulate_step_response(robot_name, scheme, dt, steps, ref_value):
     return np.asarray(out)
 
 
+def fit_time_constants(times, thrusts):
+    """Fit asymmetric first-order time constants from a measured motor
+    step trace (the reference's motorid workflow,
+    sim2real/motorid_utilities/motor_model_identification.ipynb): split the
+    trace into rising/falling segments against the steady levels and
+    least-squares fit tau on log(1 - normalized response)."""
+    times = np.asarray(times, np.float64)
+    thrusts = np.asarray(thrusts, np.float64)
+    lo, hi = thrusts.min(), thrusts.max()
+    rising = np.gradient(thrusts, times) > 0
+
+    def fit(mask, target, start):
+        t = times[mask]
+        y = thrusts[mask]
+        if len(t) < 4 or abs(target - start) < 1e-9:
+            return float("nan")
+        u = 1.0 - (y - start) / (target - start)
+        # drop converged samples: the settled tail carries no slope
+        # information and (clipped) would bias the fit
+        keep = u > 1e-3
+        if keep.sum() < 4:
+            return float("nan")
+        t, u = t[keep], u[keep]
+        # log(u) = -(t - t0)/tau  ->  slope = -1/tau
+        A = np.vstack([t - t[0], np.ones_like(t)]).T
+        slope, _ = np.linalg.lstsq(A, np.log(u), rcond=None)[0]
+        return -1.0 / slope if slope < 0 else float("nan")
+
+    tau_inc = fit(rising, hi, lo)
+    tau_dec = fit(~rising, lo, hi)
+    return tau_inc, tau_dec
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--robot", default="base_quadrotor")
@@ -41,7 +74,16 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--ref_thrust", type=float, default=1.5)
     p.add_argument("--out", default="/tmp/motor_step_response.csv")
+    p.add_argument("--fit", default=None, metavar="CSV",
+                   help="fit tau_inc/tau_dec from a measured time,thrust "
+                        "CSV (motor test-bench trace) instead of simulating")
     args = p.parse_args()
+
+    if args.fit:
+        rows = np.loadtxt(args.fit, delimiter=",", skiprows=1)
+        ti, td = fit_time_constants(rows[:, 0], rows[:, 1])
+        print(f"fitted tau_inc={ti:.4f}s tau_dec={td:.4f}s from {args.fit}")
+        raise SystemExit(0)
 
     euler = simulate_step_response(args.robot, "euler", args.dt, args.steps,
                                    args.ref_thrust)

@@ -251,3 +251,40 @@ def test_import_sample_factory_policy_matches_torch_gru(tmp_path):
     pol.reset([1])
     fresh = NumpyRecurrentPolicy(npz, num_envs=3)
     np.testing.assert_allclose(pol(obs)[1], fresh(obs)[1], atol=2e-5)
+
+
+def test_sysid_fit_time_constants_recovers_tau():
+    """sys_id --fit (reference motorid notebook workflow): recover the
+    asymmetric first-order time constants from a synthetic step trace."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1] / "examples"))
+    import sys_id
+
+    tau_up, tau_down = 0.04, 0.02
+    dt = 0.001
+    t_up = np.arange(0, 0.4, dt)
+    y_up = 2.0 * (1 - np.exp(-t_up / tau_up))
+    t_dn = np.arange(0, 0.4, dt) + t_up[-1] + dt
+    y_dn = y_up[-1] * np.exp(-(t_dn - t_dn[0]) / tau_down)
+    times = np.concatenate([t_up, t_dn])
+    thrusts = np.concatenate([y_up, y_dn])
+    ti, td = sys_id.fit_time_constants(times, thrusts)
+    np.testing.assert_allclose(ti, tau_up, rtol=0.1)
+    np.testing.assert_allclose(td, tau_down, rtol=0.1)
+
+
+def test_imu_csv_reader_and_sim2real_config():
+    """imu_to_rosbag CSV reader parses logged rows (ROS-free part) and the
+    deployment dimension constants match the navigation obs layout."""
+    from aerial_gym_simulator_tpu.utils.imu_to_rosbag import read_imu_csv
+    from aerial_gym_simulator_tpu.sim2real import config as s2r_cfg
+
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        f.write("t,ax,ay,az,gx,gy,gz\n0.0,0,0,9.81,0,0,0\n0.01,0.1,0,9.8,0,0,0.01\n")
+        path = f.name
+    rows = list(read_imu_csv(path))
+    assert len(rows) == 2 and rows[1][0] == 0.01 and rows[0][3] == 9.81
+
+    assert s2r_cfg.TOTAL_IP_DIMS == 17
+    assert s2r_cfg.TOTAL_OBS_DIMS == 81   # == navigation_task obs dim
