@@ -13,12 +13,20 @@ from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer, enable_compil
 from aerial_gym_simulator_tpu.sim2real import NumpyPolicy, export_policy_npz
 
 if __name__ == "__main__":
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--num_envs", type=int, default=2048)
+    p.add_argument("--total_steps", type=int, default=20_000_000)
+    p.add_argument("--play_steps", type=int, default=300)
+    args = p.parse_args()
+
     enable_compilation_cache()
-    num_envs = 2048
+    num_envs = args.num_envs
     task = ag.task_registry.make_task("position_setpoint_task",
                                       num_envs=num_envs, seed=0)
-    cfg = PPOConfig(num_envs=num_envs, horizon=32, minibatch_size=8192,
-                    total_env_steps=20_000_000, seed=0)
+    cfg = PPOConfig(num_envs=num_envs, horizon=32,
+                    minibatch_size=min(8192, num_envs * 32),
+                    total_env_steps=args.total_steps, seed=0)
     trainer = PPOTrainer(task, cfg)
     trainer.train()
     trainer.save_checkpoint("/tmp/inference_example.ckpt")
@@ -28,11 +36,11 @@ if __name__ == "__main__":
     policy = NumpyPolicy("/tmp/inference_example.npz")
     obs, *_ = task.reset()
     total = 0.0
-    for i in range(300):
+    for i in range(args.play_steps):
         actions = policy(np.asarray(obs["observations"]))
         obs, reward, term, trunc, infos = task.step(jnp.asarray(actions))
         total += float(reward.mean())
         if i % 50 == 49:
             print(f"step {i}: mean reward {total / (i + 1):.3f} "
                   f"crashes {int(term.sum())}")
-    print(f"numpy-policy closed loop done; mean step reward {total/300:.3f}")
+    print(f"numpy-policy closed loop done; mean step reward {total/args.play_steps:.3f}")
