@@ -172,3 +172,36 @@ def test_reset_resamples_dof_states():
     q = np.asarray(st.dof_pos)
     assert np.all(np.abs(q) <= np.pi / 2 + 1e-6)
     assert np.std(q) > 0.01  # actually resampled, not zeroed
+
+
+def test_multi_sensor_robot_camera_lidar_imu():
+    """All three sensor families enabled on one robot at once (the
+    reference allows arbitrary sensor combos per robot config,
+    base_quad_config sensor_config flags)."""
+    from aerial_gym_simulator_tpu.config.robot_config.catalog import base_quadrotor
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        render_camera, render_lidar)
+
+    def robot_fn():
+        cfg = base_quadrotor()
+        cfg.name = "multi_sensor_quad"
+        cfg.sensor_config.enable_camera = True
+        cfg.sensor_config.enable_lidar = True
+        cfg.sensor_config.enable_imu = True
+        return cfg
+
+    try:
+        robot_registry.register("multi_sensor_quad", robot_fn)
+    except Exception:
+        pass
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "multi_sensor_quad", "lee_velocity_control",
+                                 num_envs=2, seed=0)
+    env.reset()
+    px, _ = render_camera(env.params, env.state)
+    rng, _ = render_lidar(env.params, env.state)
+    assert px.shape[0] == 2 and px.ndim == 3
+    assert rng.shape[0] == 2 and rng.ndim == 3
+    assert env.params.imu is not None
+    env.step(jnp.zeros((2, env.params.controller.num_actions)))
+    assert bool(jnp.all(jnp.isfinite(env.state.pos)))
