@@ -139,36 +139,47 @@ def convert_torch_vae_state_dict(sd: dict):
     ``img_decoder.*``, optionally prefixed ``vae.``) or a bare
     encoder/decoder dict.
     """
+    # normalize key prefixes: raw training checkpoints may be wrapped
+    # ("module."), use the backbone name ("dronet." -> encoder, mirroring
+    # the reference's clean_state_dict, vae_image_encoder.py:7-13), or use
+    # either attribute name pair (VAE.py:177-178 names them self.encoder /
+    # self.img_decoder)
     flat = {}
     for k, v in sd.items():
-        flat[k.replace("vae.", "")] = v
+        k = k.replace("module.", "").replace("vae.", "")
+        k = k.replace("dronet.", "encoder.")
+        flat[k] = v
 
-    def pick(prefix, name):
-        for cand in (f"{prefix}.{name}", name):
+    def pick(prefixes, name):
+        for prefix in prefixes:
+            cand = f"{prefix}.{name}" if prefix else name
             if cand + ".weight" in flat:
                 return flat[cand + ".weight"], flat[cand + ".bias"]
         raise KeyError(f"{name} not found in state dict "
-                       f"(tried prefix '{prefix}')")
+                       f"(tried prefixes {prefixes})")
+
+    _ENC_PRE = ("encoder", "img_encoder", "")
+    _DEC_PRE = ("img_decoder", "decoder", "")
 
     enc = {}
     for tname, fname in _ENC_CONVS:
-        w, b = pick("img_encoder", tname)
+        w, b = pick(_ENC_PRE, tname)
         # torch conv weight (O, I, kH, kW) -> flax HWIO (lax conv is
         # cross-correlation in both frameworks: no flip)
         enc[fname] = {"kernel": jnp.asarray(_t2n(w).transpose(2, 3, 1, 0)),
                       "bias": jnp.asarray(_t2n(b))}
     for tname, fname in _ENC_DENSE:
-        w, b = pick("img_encoder", tname)
+        w, b = pick(_ENC_PRE, tname)
         enc[fname] = {"kernel": jnp.asarray(_t2n(w).T),
                       "bias": jnp.asarray(_t2n(b))}
 
     dec = {}
     for tname, fname in _DEC_DENSE:
-        w, b = pick("img_decoder", tname)
+        w, b = pick(_DEC_PRE, tname)
         dec[fname] = {"kernel": jnp.asarray(_t2n(w).T),
                       "bias": jnp.asarray(_t2n(b))}
     for tname, fname in _DEC_DECONVS:
-        w, b = pick("img_decoder", tname)
+        w, b = pick(_DEC_PRE, tname)
         # torch convtranspose weight (I, O, kH, kW); the lhs-dilated-conv
         # formulation needs the spatially FLIPPED kernel in HWIO
         wn = _t2n(w)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)

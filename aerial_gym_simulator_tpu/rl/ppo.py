@@ -54,11 +54,11 @@ class PPOConfig:
     normalize_obs: bool = True
     reward_scale: float = 0.1
     seed: int = 42
-    # matmul precision for the whole train step (policy inference + grads).
-    # TPU f32 matmuls decompose into multiple bf16 passes; "bfloat16" runs
-    # the MXU natively (~3x on the small MLP grads that dominate the
-    # update) with f32 accumulation — well within PPO's noise floor.
-    # Set "highest" for full f32.
+    # matmul precision for the NETWORK ops (policy inference + grads; the
+    # env physics keeps default precision). TPU f32 matmuls decompose into
+    # multiple bf16 passes; "bfloat16" runs the MXU natively (~3x on the
+    # small MLP grads that dominate the update) with f32 accumulation —
+    # well within PPO's noise floor. Set "highest" for full f32.
     matmul_precision: str = "bfloat16"
 
 
@@ -103,11 +103,19 @@ def make_train_step(step_fn, cfg: PPOConfig):
     batch = N * T
     n_minibatches = max(batch // cfg.minibatch_size, 1)
 
+    # matmul precision is scoped to the NETWORK ops only (policy inference
+    # + grads, where the speedup lives); the env physics traced by step_fn
+    # stays at default precision so train-time dynamics match eval-time
+    # dynamics exactly
+    def apply_net(net_params, ts, x):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return ts.apply_fn(net_params, x)
+
     def env_step(carry, _):
         ts, env_carry, obs, key, norm = carry
         key, akey = jax.random.split(key)
         norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
-        mean, log_std, value = ts.apply_fn(ts.params, norm_obs)
+        mean, log_std, value = apply_net(ts.params, ts, norm_obs)
         action, logp = sample_action(mean, log_std, akey)
         env_carry, next_obs, reward, term, trunc = step_fn(env_carry, action)
         done = jnp.maximum(term, trunc)
@@ -131,7 +139,7 @@ def make_train_step(step_fn, cfg: PPOConfig):
 
     def loss_fn(net_params, ts, mb):
         obs, action, old_logp, old_value, adv, ret = mb
-        mean, log_std, value = ts.apply_fn(net_params, obs)
+        mean, log_std, value = apply_net(net_params, ts, obs)
         logp = gaussian_logp(mean, log_std, action)
         ratio = jnp.exp(logp - old_logp)
         pg1 = -adv * ratio
@@ -146,10 +154,6 @@ def make_train_step(step_fn, cfg: PPOConfig):
         return total, (pg_loss, v_loss, ent)
 
     def train_step(ts: TrainState, env_carry, obs, key, norm):
-        with jax.default_matmul_precision(cfg.matmul_precision):
-            return _train_step_body(ts, env_carry, obs, key, norm)
-
-    def _train_step_body(ts: TrainState, env_carry, obs, key, norm):
         # ---- rollout (scan over fused env step) --------------------------
         (ts, env_carry, obs, key, norm), traj = jax.lax.scan(
             env_step, (ts, env_carry, obs, key, norm), None, length=T)
@@ -160,7 +164,7 @@ def make_train_step(step_fn, cfg: PPOConfig):
 
         last_norm_obs = (RunningMeanStd.normalize(norm, obs)
                          if cfg.normalize_obs else obs)
-        _, _, last_value = ts.apply_fn(ts.params, last_norm_obs)
+        _, _, last_value = apply_net(ts.params, ts, last_norm_obs)
         adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
 
         flat = lambda x: x.reshape((batch,) + x.shape[2:])

@@ -31,8 +31,7 @@ from ..utils.logging import CustomLogger
 logger = CustomLogger("torch_import")
 
 
-def _t2n(t) -> np.ndarray:
-    return np.asarray(t.detach().cpu().numpy(), np.float32)
+from ..models.torch_vae_import import _t2n  # shared torch->numpy helper
 
 
 def _load_state_dict(pth_path: str) -> dict:
@@ -157,10 +156,7 @@ def import_sample_factory_policy(pth_path: str, npz_path: str) -> str:
     return npz_path
 
 
-def _elu(x):
-    # expm1 only on the negative side (avoids overflow warnings from the
-    # unselected branch of np.where)
-    return np.where(x > 0, x, np.expm1(np.minimum(x, 0.0)))
+from .numpy_policy import _elu  # shared overflow-safe ELU
 
 
 def _sigmoid(x):
@@ -176,7 +172,8 @@ class NumpyRecurrentPolicy:
     Deterministic action = the mu half of the distribution output.
     """
 
-    def __init__(self, npz_path: str, num_envs: int = 1):
+    def __init__(self, npz_path: str, num_envs: int = 1,
+                 action_dim: Optional[int] = None):
         z = np.load(npz_path)
         self.z = {k: z[k] for k in z.files}
         self.num_envs = num_envs
@@ -184,10 +181,20 @@ class NumpyRecurrentPolicy:
         self.hidden_dim = (self.z["gru_Whh"].shape[1] if self.recurrent
                            else 0)
         self.hidden = np.zeros((num_envs, self.hidden_dim), np.float32)
-        # the distribution head emits [mu, log_std]; with adaptive stddev
-        # its width is 2 x action_dim (even width ⇒ split in half)
+        # With sample-factory's default adaptive stddev the distribution
+        # head emits [mu, log_std] (width = 2 x action_dim); with
+        # adaptive_stddev=False it emits mu only. An even width is assumed
+        # to be the former — pass action_dim explicitly for
+        # non-adaptive-stddev checkpoints with an even action count.
         head_out = self.z["head_b"].shape[0]
-        self.action_dim = head_out // 2 if head_out % 2 == 0 else head_out
+        if action_dim is not None:
+            self.action_dim = action_dim
+        else:
+            self.action_dim = head_out // 2 if head_out % 2 == 0 else head_out
+            logger.info(
+                f"inferred action_dim={self.action_dim} from head width "
+                f"{head_out} (pass action_dim= to override for "
+                f"non-adaptive-stddev checkpoints)")
 
     def reset(self, env_ids=None):
         if not self.recurrent:

@@ -37,17 +37,18 @@ class MetricsWriter:
         self._tb = None
         self._jsonl = None
         self._wandb = None
-        if logdir is None:
-            return
-        os.makedirs(logdir, exist_ok=True)
-        self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a",
-                           buffering=1)
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-            self._tb = SummaryWriter(log_dir=logdir)
-        except Exception as e:
-            logger.warning(f"tensorboard writer unavailable ({e}); "
-                           f"metrics.jsonl only")
+        if logdir is not None:
+            os.makedirs(logdir, exist_ok=True)
+            self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a",
+                               buffering=1)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=logdir)
+            except Exception as e:
+                logger.warning(f"tensorboard writer unavailable ({e}); "
+                               f"metrics.jsonl only")
+        # wandb streams independently of logdir (--track without --logdir
+        # is a valid configuration)
         if track == "wandb":
             try:
                 import wandb
@@ -58,8 +59,13 @@ class MetricsWriter:
                 logger.warning(f"wandb unavailable ({e})")
         self._t0 = time.time()
 
+    @property
+    def enabled(self) -> bool:
+        return (self._jsonl is not None or self._tb is not None
+                or self._wandb is not None)
+
     def write(self, step: int, metrics: Mapping[str, float]):
-        if self.logdir is None:
+        if not self.enabled:
             return
         scalars = {k: float(v) for k, v in metrics.items()}
         if self._jsonl is not None:

@@ -48,7 +48,8 @@ def main():
     ap.add_argument("--num_envs", type=int, default=1)
     ap.add_argument("--csv", type=str, default=None,
                     help="measured time,elevation_deg CSV to compare against")
-    ap.add_argument("--out", type=str, default="morphy_arm_step.csv")
+    ap.add_argument("--out", type=str,
+                    default="/tmp/morphy_arm_step.csv")
     args = ap.parse_args()
 
     env = SimBuilder().build_env(
@@ -94,8 +95,9 @@ def main():
             plt.plot(t_m, np.degrees(th_m), label="measured", alpha=0.6)
         plt.xlabel("time [s]"); plt.ylabel("arm elevation [deg]")
         plt.legend(); plt.tight_layout()
-        plt.savefig("morphy_arm_step.png", dpi=120)
-        print("wrote morphy_arm_step.png")
+        png = args.out.rsplit(".", 1)[0] + ".png"
+        plt.savefig(png, dpi=120)
+        print(f"wrote {png}")
     except Exception as e:  # matplotlib optional
         print(f"(no plot: {e})")
 

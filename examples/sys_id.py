@@ -43,7 +43,12 @@ def fit_time_constants(times, thrusts):
     times = np.asarray(times, np.float64)
     thrusts = np.asarray(thrusts, np.float64)
     lo, hi = thrusts.min(), thrusts.max()
-    rising = np.gradient(thrusts, times) > 0
+    grad = np.gradient(thrusts, times)
+    # exclude settled plateaus from BOTH segments: near-zero-gradient
+    # samples carry no time-constant information and would anchor the
+    # falling fit at a plateau timestamp
+    moving = np.abs(grad) > 0.05 * np.abs(grad).max()
+    rising = (grad > 0) & moving
 
     def fit(mask, target, start):
         t = times[mask]
@@ -63,7 +68,7 @@ def fit_time_constants(times, thrusts):
         return -1.0 / slope if slope < 0 else float("nan")
 
     tau_inc = fit(rising, hi, lo)
-    tau_dec = fit(~rising, lo, hi)
+    tau_dec = fit((grad < 0) & moving, lo, hi)
     return tau_inc, tau_dec
 
 
@@ -80,7 +85,14 @@ if __name__ == "__main__":
     args = p.parse_args()
 
     if args.fit:
-        rows = np.loadtxt(args.fit, delimiter=",", skiprows=1)
+        with open(args.fit) as f:
+            first = f.readline()
+        try:                       # header sniff: skip only if non-numeric
+            float(first.split(",")[0])
+            skip = 0
+        except ValueError:
+            skip = 1
+        rows = np.loadtxt(args.fit, delimiter=",", skiprows=skip)
         ti, td = fit_time_constants(rows[:, 0], rows[:, 1])
         print(f"fitted tau_inc={ti:.4f}s tau_dec={td:.4f}s from {args.fit}")
         raise SystemExit(0)

@@ -76,7 +76,10 @@ class _RefDecoder(nn.Module):
 def torch_vae_ckpt(tmp_path_factory):
     torch.manual_seed(0)
     enc, dec = _RefEncoder(), _RefDecoder()
-    sd = {f"img_encoder.{k}": v for k, v in enc.state_dict().items()}
+    # the reference VAE's actual attribute names (VAE.py:177-178:
+    # self.encoder / self.img_decoder), with a "module." wrapper on some
+    # keys like raw DataParallel training checkpoints have
+    sd = {f"module.encoder.{k}": v for k, v in enc.state_dict().items()}
     sd.update({f"img_decoder.{k}": v for k, v in dec.state_dict().items()})
     path = str(tmp_path_factory.mktemp("vae") / "vae.pth")
     torch.save(sd, path)
