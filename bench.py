@@ -21,13 +21,13 @@ BASELINE_STEPS_PER_S = 5_000_000.0
 
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16384))
-    steps = int(os.environ.get("BENCH_STEPS", 300))
+    steps = int(os.environ.get("BENCH_STEPS", 2000))
     warmup = 20
 
     if jax.default_backend() == "cpu":
         # CPU fallback sizing (CI/dev machines without the TPU tunnel)
         num_envs = min(num_envs, 2048)
-        steps = min(steps, 100)
+        steps = min(steps, 100)  # CPU: one small block
 
     import aerial_gym_simulator_tpu as ag
 
@@ -38,7 +38,9 @@ def main():
     # Scan a block of steps per dispatch, exactly like the PPO rollout does:
     # per-step host round trips otherwise dominate (the TPU is reached over
     # a tunnel; one RPC per 0.05 ms device step would measure the network).
-    block = 50
+    # 250 steps/dispatch: profiling shows the 50-step block still lost ~35%
+    # to dispatch (8.2 ms on-device vs 13 ms wall per block).
+    block = 250
     step_fn, carry, _obs = task.make_step_fn()
 
     def run_block(c):
