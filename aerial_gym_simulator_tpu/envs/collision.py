@@ -58,8 +58,15 @@ def scene_sdf_point(params: SimParams, state: SimState, p_world: jax.Array):
     """
     sc = params.scene
     slot = sc.env_prim_slot                                      # (N, P)
-    a_pos = jnp.take_along_axis(state.obstacle_pos, slot[..., None], axis=1)
-    a_quat = jnp.take_along_axis(state.obstacle_quat, slot[..., None], axis=1)
+    # one-hot batched matmul instead of take_along_axis: TPU row gathers
+    # of small rows are slow (~ms at training scale, profiled in the
+    # render path) while the einsum is trivial MXU work; this runs every
+    # physics substep
+    A = state.obstacle_pos.shape[1]
+    onehot = (slot[..., None] == jnp.arange(A)[None, None, :]).astype(
+        state.obstacle_pos.dtype)                                # (N, P, A)
+    a_pos = jnp.einsum("npa,nad->npd", onehot, state.obstacle_pos)
+    a_quat = jnp.einsum("npa,nad->npd", onehot, state.obstacle_quat)
     rel = p_world[:, None, :] - a_pos                            # (N, P, 3)
     p_asset = quat_rotate_inverse(a_quat, rel)
     rel_p = p_asset - sc.env_prim_pos

@@ -221,8 +221,15 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
     from ..utils.math import quat_to_rotation_matrix
 
     slot = scene.env_prim_slot                                     # (N, P)
-    a_pos = jnp.take_along_axis(obstacle_pos, slot[..., None], axis=1)
-    a_quat = jnp.take_along_axis(obstacle_quat, slot[..., None], axis=1)
+    # slot-select via one-hot batched matmul instead of take_along_axis:
+    # TPU row gathers of small rows run ~2.5 ms each at 1024 envs x 59
+    # prims (profiled) while the equivalent (N,P,A)x(N,A,d) einsum is
+    # trivial MXU work
+    A = obstacle_pos.shape[1]
+    onehot = (slot[..., None] == jnp.arange(A)[None, None, :]).astype(
+        obstacle_pos.dtype)                                        # (N, P, A)
+    a_pos = jnp.einsum("npa,nad->npd", onehot, obstacle_pos)
+    a_quat = jnp.einsum("npa,nad->npd", onehot, obstacle_quat)
     R_a = quat_to_rotation_matrix(a_quat)                          # (N,P,3,3)
     p_world = a_pos + jnp.einsum("npij,npj->npi", R_a, scene.env_prim_pos)
     R_w = jnp.einsum("npij,npjk->npik", R_a, scene.env_prim_rot)
