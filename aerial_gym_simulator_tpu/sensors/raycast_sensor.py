@@ -184,18 +184,34 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
         rd_world = None
     elif use_pallas:
         from ..ops import raycast_pallas as rp
+        # feed rays to the kernel in column-half order ((half, H, W/2)
+        # instead of row-major): each ray tile then spans half the
+        # horizontal FOV, so the per-tile view-cone broad phase culls ~2x
+        # tighter. Pure reshapes/transposes both ways — no gathers.
+        split = (W % 2 == 0) and (R >= 2 * rp.TILE_RAYS)
+        if split:
+            dirs_use = jnp.transpose(
+                dirs_flat.reshape(H, 2, W // 2, 3),
+                (1, 0, 2, 3)).reshape(R, 3)
+        else:
+            dirs_use = dirs_flat
         ones = jnp.ones((R,), jnp.float32)
         prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
         t, sem = rp.raycast_pallas(rp.pack_pose(pos_w, quat_w), prims,
-                                   dirs_flat, ones, sc.n_box, sc.n_cyl,
+                                   dirs_use, ones, sc.n_box, sc.n_cyl,
                                    sc.n_sph, float(sp.max_range))
         if sp.stereo_baseline > 0.0:
             offset = quat_rotate(quat_w, jnp.broadcast_to(
                 jnp.array([-sp.stereo_baseline, 0.0, 0.0], jnp.float32), (N, 3)))
             t_r, _ = rp.raycast_pallas(rp.pack_pose(pos_w + offset, quat_w),
-                                       prims, dirs_flat, ones, sc.n_box,
+                                       prims, dirs_use, ones, sc.n_box,
                                        sc.n_cyl, sc.n_sph, float(sp.max_range))
             t = jnp.maximum(t, t_r)
+        if split:
+            t = jnp.transpose(t.reshape(N, 2, H, W // 2),
+                              (0, 2, 1, 3)).reshape(N, R)
+            sem = jnp.transpose(sem.reshape(N, 2, H, W // 2),
+                                (0, 2, 1, 3)).reshape(N, R)
         rd_world = None
     else:
         rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
