@@ -396,6 +396,12 @@ def main():
                    help="jax.distributed.initialize before building the mesh")
     p.add_argument("--logdir", default=None,
                    help="write TensorBoard + metrics.jsonl here")
+    p.add_argument("--vae_params", default=None,
+                   help="frozen depth-VAE params (.pkl from models/"
+                        "train_vae) for the navigation tasks")
+    p.add_argument("--torch_vae", default=None,
+                   help="reference-framework torch VAE .pth for the "
+                        "navigation tasks (models/torch_vae_import)")
     p.add_argument("--track", default=None, choices=[None, "wandb"],
                    help="additionally stream metrics to wandb")
     args = p.parse_args()
@@ -410,8 +416,15 @@ def main():
 
     enable_compilation_cache()
 
+    task_config = None
+    if args.vae_params or args.torch_vae:
+        import dataclasses
+        task_config = ag.task_registry.get_task_config(args.task)
+        task_config = dataclasses.replace(
+            task_config, vae_params_path=args.vae_params,
+            torch_vae_path=args.torch_vae)
     task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
-                                      seed=args.seed)
+                                      seed=args.seed, task_config=task_config)
     cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
                     minibatch_size=min(8192, args.num_envs * args.horizon),
                     total_env_steps=args.total_steps, seed=args.seed)
