@@ -104,3 +104,45 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     tr.load_checkpoint_orbax(d)
     np.testing.assert_allclose(np.asarray(tr.act(jnp.asarray(obs))),
                                a_before, atol=1e-6)
+
+
+def test_ppo_learns_synthetic_bandit():
+    """Learning regression (SURVEY section 4 implication): the fused PPO
+    machinery (rollout scan + GAE + clipped update) must actually improve
+    a policy. A trivial continuous bandit (reward = -|a - 0.5|) converges
+    in a few hundred iterations on CPU; a broken update (sign error, bad
+    advantage normalization, stale logp) fails this immediately."""
+    import jax
+    import jax.numpy as jnp
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    N, obs_dim, act_dim = 64, 4, 2
+    target = jnp.array([0.5, -0.3])
+
+    class BanditTask:
+        class task_config:
+            observation_space_dim = obs_dim
+            action_space_dim = act_dim
+
+        def make_step_fn(self):
+            def step(carry, action):
+                # carry and obs must be distinct buffers (the trainer
+                # donates the carry, like the real tasks' SimState)
+                carry = carry + 1
+                obs = jnp.zeros((N, obs_dim)) + 0.0 * carry.astype(jnp.float32)
+                reward = -jnp.abs(action - target[None, :]).sum(-1)
+                term = jnp.zeros((N,), jnp.float32)
+                return carry, obs, reward, term, term
+            return step, jnp.zeros((), jnp.int32), jnp.zeros((N, obs_dim))
+
+    cfg = PPOConfig(num_envs=N, horizon=8, minibatch_size=128, epochs=4,
+                    lr=3e-3, gamma=0.0, gae_lambda=0.0, seed=0,
+                    normalize_obs=False, reward_scale=1.0,
+                    total_env_steps=N * 8 * 300)
+    tr = PPOTrainer(BanditTask(), cfg)
+    hist = tr.train(log_every=50)
+    first, last = hist[0]["reward_mean"], hist[-1]["reward_mean"]
+    assert last > first + 0.3, (first, last)
+    # deterministic action approaches the bandit target
+    a = np.asarray(tr.act(jnp.zeros((1, obs_dim))))
+    np.testing.assert_allclose(a[0], np.asarray(target), atol=0.15)
