@@ -60,7 +60,8 @@ def _safe_inv(x):
     return 1.0 / jnp.where(jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x)
 
 
-def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
+def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
+                 tile_rows: int):
     P = n_box + n_cyl + n_sph
 
     def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
@@ -76,8 +77,8 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float):
         dxw, dyw, dzw = _quat_rotate_tile(qx, qy, qz, qw,
                                           dx_ref[:], dy_ref[:], dz_ref[:])
 
-        t_scr[:] = jnp.full((_TILE_ROWS, _LANES), _BIG, jnp.float32)
-        s_scr[:] = jnp.full((_TILE_ROWS, _LANES),
+        t_scr[:] = jnp.full((tile_rows, _LANES), _BIG, jnp.float32)
+        s_scr[:] = jnp.full((tile_rows, _LANES),
                             float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
 
         def in_reach(p):
@@ -254,7 +255,12 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     """
     N = pose.shape[0]
     R = dirs.shape[0]
-    R_pad = ((R + TILE_RAYS - 1) // TILE_RAYS) * TILE_RAYS
+    # adaptive tile: small sensors (e.g. 8x8 ToF = 64 rays) must not pad
+    # to the full 64x128 tile (127x wasted lanes); use the smallest
+    # 8-row-multiple tile that covers R, capped at the measured optimum
+    tile_rows = min(_TILE_ROWS, max(8, -(-R // _LANES // 8) * 8))
+    tile_rays = tile_rows * _LANES
+    R_pad = ((R + tile_rays - 1) // tile_rays) * tile_rays
     pad = R_pad - R
     # pad with the last real direction: keeps the per-tile direction cone
     # tight (zero-padding would widen the final tile's cone to 90 degrees)
@@ -267,7 +273,7 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     mt = mult_p.reshape(rows, _LANES)
 
     P = prims.shape[1]
-    tiles = rows // _TILE_ROWS
+    tiles = rows // tile_rows
     grid = (N, tiles)
 
     # ---- vectorized broad phase + origin pre-transform (VPU, not the
@@ -279,7 +285,7 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
 
     # per-tile bounding cone of ray directions (sensor frame): axis =
     # normalized mean dir; half-angle = max angle from axis over the tile.
-    dirs_t = dirs_p.reshape(tiles, TILE_RAYS, 3)
+    dirs_t = dirs_p.reshape(tiles, tile_rays, 3)
     unit = dirs_t / jnp.maximum(
         jnp.linalg.norm(dirs_t, axis=-1, keepdims=True), 1e-12)
     axis = jnp.sum(unit, axis=1)
@@ -325,7 +331,7 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     ro = jnp.einsum("npji,npj->npi", R_w, -u)   # R^T (o-p), R row-major
     prims = jnp.concatenate([prims, ro], axis=-1)              # (N, P, 19)
 
-    kernel = _make_kernel(n_box, n_cyl, n_sph, max_range)
+    kernel = _make_kernel(n_box, n_cyl, n_sph, max_range, tile_rows)
     depth, seg = pl.pallas_call(
         kernel,
         grid=grid,
@@ -336,19 +342,19 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, P), lambda e, j, T=tiles: (e * T + j, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((_TILE_ROWS, _LANES), lambda e, j: (j, 0),
+            pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_ROWS, _LANES), lambda e, j: (j, 0),
+            pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_ROWS, _LANES), lambda e, j: (j, 0),
+            pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_ROWS, _LANES), lambda e, j: (j, 0),
+            pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda e, j: (e, j, 0),
+            pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda e, j: (e, j, 0),
+            pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -356,8 +362,8 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
             jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_TILE_ROWS, _LANES), jnp.float32),   # t_best
-            pltpu.VMEM((_TILE_ROWS, _LANES), jnp.float32),   # seg_best
+            pltpu.VMEM((tile_rows, _LANES), jnp.float32),    # t_best
+            pltpu.VMEM((tile_rows, _LANES), jnp.float32),    # seg_best
         ],
         interpret=interpret,
     )(pose, prims, mask, dx, dy, dz, mt)
