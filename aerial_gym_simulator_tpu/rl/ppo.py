@@ -188,12 +188,22 @@ def make_train_step(step_fn, cfg: PPOConfig):
             rest = mb[:, obs_dim + act_dim:]
             return o, a, rest[:, 0], rest[:, 1], rest[:, 2], rest[:, 3]
 
+        # shuffle granularity: permuting 8-row blocks instead of single
+        # rows moves contiguous ~0.7 KB chunks per gather element (vs 84 B),
+        # which is the difference between DMA-bound and descriptor-bound on
+        # TPU. A block = 8 same-timestep adjacent envs — minibatch mixing
+        # stays statistically equivalent for PPO at these batch sizes.
+        blk = 8 if batch % 8 == 0 else 1
+        n_blocks = batch // blk
+        D = data2d.shape[1]
+        data_blk = data2d.reshape(n_blocks, blk * D)
+
         # ---- PPO epochs ---------------------------------------------------
         def epoch(carry, _):
             ts, key = carry
             key, pkey = jax.random.split(key)
-            perm = jax.random.permutation(pkey, batch)
-            shuffled = data2d[perm]
+            perm = jax.random.permutation(pkey, n_blocks)
+            shuffled = data_blk[perm].reshape(batch, D)
 
             def minibatch(ts, mb_idx):
                 mb = jax.lax.dynamic_slice_in_dim(
