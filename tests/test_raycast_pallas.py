@@ -85,3 +85,27 @@ def test_pallas_boundary_primitive():
     env.state = state.replace(pos=state.pos + jnp.array([[-9.0, 0.0, 0.0]]))
     t_ref, sem_ref, t_pal, sem_pal = _render_both(env)
     np.testing.assert_allclose(t_pal, t_ref, atol=2e-3)
+
+
+def test_pallas_depth_only_matches_seg_variant(obstacle_env):
+    """want_seg=False must produce identical depth (and None seg) — the
+    depth-only fast path used by the fused navigation steps."""
+    from aerial_gym_simulator_tpu.ops import raycast_pallas as rp
+    params, state = obstacle_env.params, obstacle_env.state
+    sc = params.scene
+    H, W = 8, 128
+    ys, xs = np.meshgrid(np.linspace(-0.4, 0.4, H),
+                         np.linspace(-0.6, 0.6, W), indexing="ij")
+    d = np.stack([np.ones_like(xs), xs, ys], axis=-1).reshape(-1, 3)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    dirs = jnp.asarray(d, jnp.float32)
+    ones = jnp.ones((dirs.shape[0],), jnp.float32)
+    prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+    pose = rp.pack_pose(state.pos, state.quat)
+    t_seg, sem = rp.raycast_pallas(pose, prims, dirs, ones, sc.n_box,
+                                   sc.n_cyl, sc.n_sph, 10.0, interpret=True)
+    t_dep, sem_none = rp.raycast_pallas(pose, prims, dirs, ones, sc.n_box,
+                                        sc.n_cyl, sc.n_sph, 10.0,
+                                        want_seg=False, interpret=True)
+    assert sem_none is None
+    np.testing.assert_array_equal(np.asarray(t_dep), np.asarray(t_seg))
