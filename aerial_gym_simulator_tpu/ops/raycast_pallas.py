@@ -57,7 +57,15 @@ def _quat_rotate_tile(qx, qy, qz, qw, vx, vy, vz):
 
 
 def _safe_inv(x):
-    return 1.0 / jnp.where(jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x)
+    """Guarded reciprocal: hardware approximate reciprocal + one Newton
+    step instead of a full-precision divide (measured 16% kernel time at
+    1024 envs x 135x240 — the box slab test spends 3 of these per
+    primitive). Newton squares the ~4e-3 relative error of the raw
+    approximation to ~1.4e-5, far inside the 2e-3 oracle-parity tolerance
+    and the sensors' own noise floor."""
+    x = jnp.where(jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x)
+    y = pl.reciprocal(x, approx=True)
+    return y * (2.0 - x * y)
 
 
 def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,

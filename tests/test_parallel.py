@@ -74,3 +74,25 @@ def test_dryrun_multichip_entrypoint(devices_ok):
     """The driver-facing dry run compiles + executes the sharded train step."""
     from aerial_gym_simulator_tpu.parallel.dryrun import run_dryrun
     run_dryrun(8)
+
+
+def test_sharded_navigation_ppo_step_runs(devices_ok):
+    """One PPO iteration of the NAVIGATION task (ray-cast renderer in the
+    rollout loop) with env-sharded carry on the 8-device mesh — the vision
+    pipeline's scale-out path, not just the state-based task's."""
+    from aerial_gym_simulator_tpu.parallel.distributed import shard_trainer
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    nav_cfg = ag.task_registry.get_task_config("navigation_task")
+    nav_cfg.use_vae = False  # min-pool latents: cheap CPU smoke
+    task = ag.task_registry.make_task("navigation_task", num_envs=16, seed=2,
+                                      task_config=nav_cfg)
+    cfg = PPOConfig(num_envs=16, horizon=4, minibatch_size=32, epochs=1,
+                    seed=2)
+    trainer = PPOTrainer(task, cfg)
+    shard_trainer(trainer, 8)
+    hist = trainer.train(total_env_steps=cfg.num_envs * cfg.horizon,
+                         log_every=1)
+    assert np.isfinite(hist[-1]["reward_mean"])
+    # env-dim leaves of the nav carry live sharded across all 8 devices
+    assert len(trainer.env_carry.sim.pos.sharding.device_set) == 8
