@@ -82,3 +82,99 @@ def measure_steps(step_fn: Callable, state, actions, steps: int = 100,
     return {"env_steps_per_s": total / dt,
             "env_steps_per_s_per_chip": per_chip,
             "wall_s": dt, "state": state}
+
+
+def op_breakdown(trace_dir: str, iters: int = 1, top_k: int = 20):
+    """Parse a jax.profiler trace into a per-op device-time table.
+
+    Sums XLA-op event durations from the xplane proto (the same data the
+    TensorBoard profile plugin renders) and returns [(name, ms_per_iter,
+    fraction)] sorted by cost. `iters` = how many identical iterations the
+    traced region contained, so the table reads in ms per iteration.
+    """
+    import glob
+
+    from jax.profiler import ProfileData
+
+    files = sorted(glob.glob(trace_dir + "/**/*.xplane.pb", recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
+    pd = ProfileData.from_file(files[-1])
+    totals: Dict[str, float] = {}
+    for plane in pd.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        for line in plane.lines:
+            if "XLA Ops" not in line.name:
+                continue
+            for ev in line.events:
+                totals[ev.name] = totals.get(ev.name, 0.0) + ev.duration_ns
+    s = sum(totals.values())
+    rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]
+    return [(name, ns / iters / 1e6, (ns / s if s else 0.0))
+            for name, ns in rows], s / iters / 1e6
+
+
+def _main():
+    """CLI: trace one jitted task step at scale and print where device
+    time goes.
+
+        python -m aerial_gym_simulator_tpu.utils.profiling \
+            --task navigation_task --num_envs 1024 --iters 10
+
+    The reference's only profiling tool is a wall-clock FPS loop
+    (examples/benchmark.py:67-84); this is the TPU-native equivalent of
+    its abandoned NVTX annotations (warp_cam.py:1) done properly.
+    """
+    import argparse
+    import tempfile
+
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("--task", default="position_setpoint_task")
+    p.add_argument("--num_envs", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--trace_dir", default=None,
+                   help="keep the TensorBoard-viewable trace here")
+    args = p.parse_args()
+
+    import aerial_gym_simulator_tpu as ag
+
+    task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
+                                      seed=0)
+    task.reset()
+    step_fn, carry, _obs = task.make_step_fn()
+    step = jax.jit(step_fn, donate_argnums=(0,))
+    actions = jnp.zeros((args.num_envs, task.task_config.action_space_dim),
+                        jnp.float32)
+
+    out = step(carry, actions)
+    jax.block_until_ready(out[1])
+    carry = out[0]
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        carry, *rest = step(carry, actions)
+    jax.block_until_ready(rest[0])
+    wall = (time.perf_counter() - t0) / args.iters
+
+    tdir = args.trace_dir or tempfile.mkdtemp(prefix="agtpu_prof_")
+    with trace(tdir):
+        for _ in range(args.iters):
+            carry, *rest = step(carry, actions)
+        jax.block_until_ready(rest[0])
+
+    rows, total_ms = op_breakdown(tdir, iters=args.iters, top_k=args.top)
+    print(f"\n{args.task} @ {args.num_envs} envs: "
+          f"{wall * 1e3:.2f} ms/step wall "
+          f"({args.num_envs / wall / 1e3:.1f}k env-steps/s), "
+          f"{total_ms:.2f} ms/step summed device ops "
+          f"(> wall when DMA overlaps compute)\n")
+    print(f"{'ms/step':>9}  {'share':>6}  op")
+    for name, ms, frac in rows:
+        print(f"{ms:9.3f}  {100 * frac:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    _main()
