@@ -102,9 +102,9 @@ def op_breakdown(trace_dir: str, iters: int = 1, top_k: int = 20):
     pd = ProfileData.from_file(files[-1])
     totals: Dict[str, float] = {}
     for plane in pd.planes:
-        if "TPU" not in plane.name and "/device:" not in plane.name:
-            continue
         for line in plane.lines:
+            # device planes expose per-op events under an "XLA Ops" line
+            # (TPU and GPU; the CPU backend does not emit one)
             if "XLA Ops" not in line.name:
                 continue
             for ev in line.events:
@@ -136,6 +136,10 @@ def _main():
     p.add_argument("--num_envs", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--top", type=int, default=20)
+    p.add_argument("--ppo", action="store_true",
+                   help="trace a full PPO train iteration (rollout scan + "
+                        "GAE + update) instead of one env step")
+    p.add_argument("--horizon", type=int, default=32)
     p.add_argument("--trace_dir", default=None,
                    help="keep the TensorBoard-viewable trace here")
     args = p.parse_args()
@@ -144,32 +148,62 @@ def _main():
 
     task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
                                       seed=0)
-    task.reset()
-    step_fn, carry, _obs = task.make_step_fn()
-    step = jax.jit(step_fn, donate_argnums=(0,))
-    actions = jnp.zeros((args.num_envs, task.task_config.action_space_dim),
-                        jnp.float32)
 
-    out = step(carry, actions)
-    jax.block_until_ready(out[1])
-    carry = out[0]
+    if args.ppo:
+        from ..rl.ppo import PPOConfig, PPOTrainer
+
+        cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
+                        minibatch_size=min(8192,
+                                           args.num_envs * args.horizon),
+                        seed=0)
+        trainer = PPOTrainer(task, cfg)
+        unit_steps = args.num_envs * args.horizon
+
+        def step_once(_carry, _actions):
+            (trainer.train_state, trainer.env_carry, trainer.obs,
+             trainer.key, trainer.norm, metrics) = trainer._train_step(
+                trainer.train_state, trainer.env_carry, trainer.obs,
+                trainer.key, trainer.norm)
+            return None, (metrics["reward_mean"],)
+
+        carry, actions = None, None
+        _, rest = step_once(None, None)   # warmup/compile
+        jax.block_until_ready(rest[0])
+        label = f"{args.task} PPO iteration"
+    else:
+        task.reset()
+        step_fn, carry, _obs = task.make_step_fn()
+        step = jax.jit(step_fn, donate_argnums=(0,))
+        actions = jnp.zeros(
+            (args.num_envs, task.task_config.action_space_dim), jnp.float32)
+        unit_steps = args.num_envs
+
+        def step_once(c, a):
+            c, *rest = step(c, a)
+            return c, rest
+
+        out = step(carry, actions)
+        jax.block_until_ready(out[1])
+        carry = out[0]
+        label = f"{args.task} env step"
+
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        carry, *rest = step(carry, actions)
+        carry, rest = step_once(carry, actions)
     jax.block_until_ready(rest[0])
     wall = (time.perf_counter() - t0) / args.iters
 
     tdir = args.trace_dir or tempfile.mkdtemp(prefix="agtpu_prof_")
     with trace(tdir):
         for _ in range(args.iters):
-            carry, *rest = step(carry, actions)
+            carry, rest = step_once(carry, actions)
         jax.block_until_ready(rest[0])
 
     rows, total_ms = op_breakdown(tdir, iters=args.iters, top_k=args.top)
-    print(f"\n{args.task} @ {args.num_envs} envs: "
-          f"{wall * 1e3:.2f} ms/step wall "
-          f"({args.num_envs / wall / 1e3:.1f}k env-steps/s), "
-          f"{total_ms:.2f} ms/step summed device ops "
+    print(f"\n{label} @ {args.num_envs} envs: "
+          f"{wall * 1e3:.2f} ms wall "
+          f"({unit_steps / wall / 1e3:.1f}k env-steps/s), "
+          f"{total_ms:.2f} ms summed device ops "
           f"(> wall when DMA overlaps compute)\n")
     print(f"{'ms/step':>9}  {'share':>6}  op")
     for name, ms, frac in rows:
