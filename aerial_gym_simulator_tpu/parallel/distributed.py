@@ -71,6 +71,10 @@ def shard_trainer(trainer, n_devices: Optional[int] = None):
     trainer.obs = meshlib.shard_env_pytree(trainer.obs, m, n_envs)
     trainer.train_state = meshlib.replicate_pytree(trainer.train_state, m)
     trainer.norm = meshlib.replicate_pytree(trainer.norm, m)
+    # commit the PRNG key to the mesh too — otherwise a restore
+    # (rl/ppo.py restore_training_state) commits it to a single device and
+    # the jitted train step sees mixed device sets
+    trainer.key = meshlib.replicate_pytree(trainer.key, m)
     logger.info(f"trainer sharded over {len(m.devices.flatten())} devices "
                 f"(env axis)")
     return m

@@ -258,6 +258,7 @@ class PPOTrainer:
                                              params=net_params, tx=tx)
         self.norm = RunningMeanStd.init(obs_dim)
         self.key = key
+        self._iter = 0  # next training iteration (elastic resume cursor)
 
         env_step_fn, self.env_carry, self.obs = task.make_step_fn()
         self.train_step_fn = make_train_step(env_step_fn, cfg)
@@ -325,6 +326,73 @@ class PPOTrainer:
         self.norm = restored["norm"]
         logger.info(f"orbax checkpoint loaded from {dir_path}")
 
+    # ---- elastic recovery (SURVEY 5.3 north-star scope) -------------------
+    # The reference has no failure-recovery story at all; here a training
+    # run is preemption-safe: the FULL training state — learner params +
+    # optimizer + obs normalizer + env state pytree + PRNG key + iteration
+    # counter — checkpoints atomically, and a restarted job (same or
+    # different device topology) resumes exactly where it left off. Restore
+    # re-lays-out every array to the restoring job's shardings, so a run
+    # preempted on N chips can rejoin on M chips.
+
+    def _elastic_bundle(self):
+        return {"params": self.train_state.params,
+                "opt_state": self.train_state.opt_state,
+                "step": self.train_state.step,
+                "norm": dict(self.norm),
+                "env_carry": self.env_carry,
+                "obs": self.obs,
+                "key": self.key,
+                "iter": jnp.asarray(self._iter, jnp.int32)}
+
+    @staticmethod
+    def _pack_empty(tree):
+        # orbax refuses zero-size arrays (e.g. obstacle_pos in obstacle-free
+        # tasks); stand in a 1-element placeholder to keep the tree structure
+        # identical across save/restore. Unpacked in restore_training_state.
+        return jax.tree_util.tree_map(
+            lambda x: jnp.zeros((1,), jnp.asarray(x).dtype)
+            if np.size(x) == 0 else x, tree)
+
+    def save_training_state(self, dir_path: str):
+        """Atomic full-training-state checkpoint (orbax; multi-host safe —
+        every host participates and the directory commit is atomic)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(os.path.abspath(dir_path),
+                   self._pack_empty(self._elastic_bundle()), force=True)
+        ckptr.wait_until_finished()
+        logger.info(f"elastic checkpoint saved to {dir_path} "
+                    f"(iter {self._iter})")
+
+    def restore_training_state(self, dir_path: str) -> int:
+        """Restore a full training state; returns the iteration to resume
+        from. The current trainer's arrays serve as the restore target, so
+        the checkpoint re-shards onto THIS job's mesh (elastic rejoin on a
+        different host/chip count)."""
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        bundle = self._elastic_bundle()
+        restored = ckptr.restore(os.path.abspath(dir_path),
+                                 self._pack_empty(bundle))
+        # zero-size leaves were saved as placeholders — keep ours instead
+        restored = jax.tree_util.tree_map(
+            lambda orig, r: orig if np.size(orig) == 0 else r,
+            bundle, restored)
+        self.train_state = self.train_state.replace(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=restored["step"])
+        self.norm = restored["norm"]
+        self.env_carry = restored["env_carry"]
+        self.obs = restored["obs"]
+        self.key = restored["key"]
+        self._iter = int(restored["iter"])
+        logger.info(f"elastic checkpoint restored from {dir_path} "
+                    f"(resuming at iter {self._iter})")
+        return self._iter
+
     def act(self, obs, deterministic: bool = True):
         """Policy inference (used by play mode + sim2real deployment)."""
         norm_obs = (RunningMeanStd.normalize(self.norm, obs)
@@ -338,17 +406,29 @@ class PPOTrainer:
         return action
 
     def train(self, total_env_steps: Optional[int] = None, log_every: int = 10,
-              logdir: Optional[str] = None, track: Optional[str] = None):
+              logdir: Optional[str] = None, track: Optional[str] = None,
+              ckpt_dir: Optional[str] = None, save_every: int = 0,
+              resume: bool = False):
         """Run the training loop.
 
         logdir/track: optional TensorBoard+JSONL (and wandb) metrics sink —
         the reference analog of rl-games ``--track``/SummaryWriter
         (reference rl_training/cleanrl/ppo_continuous_action.py:327-343).
+
+        ckpt_dir/save_every/resume: preemption-safe elastic training — the
+        full training state checkpoints to ckpt_dir every `save_every`
+        iterations (and at the end); `resume=True` restores from ckpt_dir
+        if one exists and continues from the saved iteration, on whatever
+        device topology THIS job has.
         """
         cfg = self.cfg
         total = total_env_steps or cfg.total_env_steps
         steps_per_iter = cfg.num_envs * cfg.horizon
         iters = max(total // steps_per_iter, 1)
+
+        start_iter = 0
+        if resume and ckpt_dir and os.path.isdir(ckpt_dir):
+            start_iter = self.restore_training_state(ckpt_dir)
 
         obs = self.obs
         env_carry = self.env_carry
@@ -358,10 +438,13 @@ class PPOTrainer:
 
         history = []
         t_start = time.perf_counter()
-        for it in range(iters):
+        for it in range(start_iter, iters):
             (self.train_state, env_carry, obs, self.key, self.norm,
              metrics) = self._train_step(self.train_state, env_carry, obs,
                                          self.key, self.norm)
+            if ckpt_dir and save_every and (it + 1) % save_every == 0:
+                self.env_carry, self.obs, self._iter = env_carry, obs, it + 1
+                self.save_training_state(ckpt_dir)
             if it % log_every == 0 or it == iters - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iter"] = it
@@ -377,6 +460,9 @@ class PPOTrainer:
         writer.close()
         self.env_carry = env_carry
         self.obs = obs
+        self._iter = iters
+        if ckpt_dir and save_every:
+            self.save_training_state(ckpt_dir)
         if hasattr(self.task, "set_carry"):
             self.task.set_carry(env_carry)
         return history
@@ -414,6 +500,13 @@ def main():
                         "navigation tasks (models/torch_vae_import)")
     p.add_argument("--track", default=None, choices=[None, "wandb"],
                    help="additionally stream metrics to wandb")
+    p.add_argument("--ckpt_dir", default=None,
+                   help="elastic-checkpoint directory (full training state)")
+    p.add_argument("--save_every", type=int, default=50,
+                   help="checkpoint every N iterations (with --ckpt_dir)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --ckpt_dir if a checkpoint exists "
+                        "(works across device topologies)")
     args = p.parse_args()
 
     # must run before ANY backend use — importing this package is kept free
@@ -442,7 +535,9 @@ def main():
     if args.multichip or args.multihost:
         from ..parallel.distributed import shard_trainer
         shard_trainer(trainer)
-    history = trainer.train(logdir=args.logdir, track=args.track)
+    history = trainer.train(logdir=args.logdir, track=args.track,
+                            ckpt_dir=args.ckpt_dir,
+                            save_every=args.save_every, resume=args.resume)
     print(f"final reward: {history[-1]['reward_mean']:.3f} "
           f"({history[-1]['wall_s']:.1f}s wall)")
 
