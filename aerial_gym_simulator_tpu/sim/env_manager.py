@@ -187,6 +187,52 @@ class EnvManager:
     def delete_env(self):
         self.state = None
 
+    # -- full-sim checkpointing (SURVEY 5.4) -------------------------------
+    # The reference never checkpoints simulator state (only RL-framework
+    # checkpoints exist there, SURVEY.md 5.4); because SimState is one
+    # explicit pytree here, offering it is a flat npz dump. Covers every
+    # leaf (poses, velocities, motor/DOF state, obstacle slots, per-env
+    # PRNG keys) plus the host-side step counter and substep RNG, so a
+    # reloaded sim continues the exact same trajectory.
+
+    def save_state(self, path: str):
+        """Serialize the complete simulator state to ``path`` (.npz)."""
+        import pickle
+
+        import numpy as np
+
+        leaves = jax.tree_util.tree_leaves(self.state)
+        arrs = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        arrs["step_counter"] = np.asarray(self.step_counter)
+        arrs["py_rng"] = np.frombuffer(
+            pickle.dumps(self._py_rng.getstate()), np.uint8)
+        with open(path, "wb") as f:
+            np.savez(f, **arrs)
+        logger.info(f"sim state saved to {path} ({len(leaves)} arrays)")
+
+    def load_state(self, path: str):
+        """Restore a state saved by :meth:`save_state`. The current state
+        pytree is the structure template, so the checkpoint must come from
+        the same configuration (shapes are validated leaf by leaf)."""
+        import pickle
+
+        import numpy as np
+
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        new_leaves = []
+        for i, cur in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            if arr.shape != cur.shape:
+                raise ValueError(
+                    f"sim checkpoint leaf {i} shape {arr.shape} != current "
+                    f"{cur.shape} — was it saved from a different config?")
+            new_leaves.append(jnp.asarray(arr, dtype=cur.dtype))
+        self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        self.step_counter = int(data["step_counter"])
+        self._py_rng.setstate(pickle.loads(data["py_rng"].tobytes()))
+        logger.info(f"sim state loaded from {path}")
+
     def log_memory_use(self):
         n_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(self.state))
         logger.warning(f"SimState device memory: {n_bytes / 1024 / 1024:.2f} MB")

@@ -57,6 +57,34 @@ def test_elastic_resume_is_exact(tmp_path):
                                np.asarray(resumed.norm["count"]))
 
 
+def test_sim_state_checkpoint_exact_replay(tmp_path):
+    """EnvManager.save_state/load_state (SURVEY 5.4: the reference never
+    checkpoints sim state): reload mid-trajectory and the continuation is
+    bit-exact, including the host-side substep RNG."""
+    import jax.numpy as jnp
+
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=16, seed=11)
+    task.reset()
+    env = task.sim_env
+    actions = jnp.full((16, 4), 0.1, jnp.float32)
+    for _ in range(5):
+        env.step(actions)
+    path = str(tmp_path / "sim_state.npz")
+    env.save_state(path)
+
+    for _ in range(7):
+        env.step(actions)
+    pos_a = np.asarray(env.state.pos)
+    steps_a = env.step_counter
+
+    env.load_state(path)
+    for _ in range(7):
+        env.step(actions)
+    np.testing.assert_array_equal(np.asarray(env.state.pos), pos_a)
+    assert env.step_counter == steps_a
+
+
 def test_elastic_rejoin_on_different_topology(tmp_path):
     """A run preempted on 8 devices rejoins on 4: restore re-shards every
     array to the new mesh and training continues."""
