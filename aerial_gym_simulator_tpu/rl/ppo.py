@@ -302,11 +302,7 @@ class PPOTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(dir_path),
-                   {"params": self.train_state.params,
-                    "opt_state": self.train_state.opt_state,
-                    "step": self.train_state.step,
-                    "norm": dict(self.norm)},
+        ckptr.save(os.path.abspath(dir_path), self._learner_bundle(),
                    force=True)
         ckptr.wait_until_finished()
         logger.info(f"orbax checkpoint saved to {dir_path}")
@@ -315,11 +311,8 @@ class PPOTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        target = {"params": self.train_state.params,
-                  "opt_state": self.train_state.opt_state,
-                  "step": self.train_state.step,
-                  "norm": dict(self.norm)}
-        restored = ckptr.restore(os.path.abspath(dir_path), target)
+        restored = ckptr.restore(os.path.abspath(dir_path),
+                                 self._learner_bundle())
         self.train_state = self.train_state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"])
@@ -335,11 +328,16 @@ class PPOTrainer:
     # re-lays-out every array to the restoring job's shardings, so a run
     # preempted on N chips can rejoin on M chips.
 
-    def _elastic_bundle(self):
+    def _learner_bundle(self):
+        # single schema shared by the orbax learner checkpoints and the
+        # elastic full-state checkpoints — add new learner fields HERE
         return {"params": self.train_state.params,
                 "opt_state": self.train_state.opt_state,
                 "step": self.train_state.step,
-                "norm": dict(self.norm),
+                "norm": dict(self.norm)}
+
+    def _elastic_bundle(self):
+        return {**self._learner_bundle(),
                 "env_carry": self.env_carry,
                 "obs": self.obs,
                 "key": self.key,
@@ -354,29 +352,46 @@ class PPOTrainer:
             lambda x: jnp.zeros((1,), jnp.asarray(x).dtype)
             if np.size(x) == 0 else x, tree)
 
-    def save_training_state(self, dir_path: str):
-        """Atomic full-training-state checkpoint (orbax; multi-host safe —
-        every host participates and the directory commit is atomic)."""
+    def _elastic_manager(self, dir_path: str):
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(dir_path),
-                   self._pack_empty(self._elastic_bundle()), force=True)
-        ckptr.wait_until_finished()
+        # step-numbered checkpoints; the previous one is only garbage-
+        # collected AFTER the new one commits, so a preemption mid-save can
+        # never lose the run (keep 2 = current + the one being replaced)
+        return ocp.CheckpointManager(
+            os.path.abspath(dir_path),
+            options=ocp.CheckpointManagerOptions(max_to_keep=2,
+                                                 create=True))
+
+    def save_training_state(self, dir_path: str):
+        """Atomic full-training-state checkpoint (orbax; multi-host safe —
+        every host participates and the directory commit is atomic; the
+        previous checkpoint survives until the new one has committed)."""
+        import orbax.checkpoint as ocp
+
+        with self._elastic_manager(dir_path) as mgr:
+            mgr.save(self._iter, args=ocp.args.StandardSave(
+                self._pack_empty(self._elastic_bundle())))
+            mgr.wait_until_finished()
         logger.info(f"elastic checkpoint saved to {dir_path} "
                     f"(iter {self._iter})")
 
     def restore_training_state(self, dir_path: str) -> int:
-        """Restore a full training state; returns the iteration to resume
-        from. The current trainer's arrays serve as the restore target, so
-        the checkpoint re-shards onto THIS job's mesh (elastic rejoin on a
-        different host/chip count)."""
+        """Restore the latest full training state; returns the iteration to
+        resume from (0 if no checkpoint exists yet). The current trainer's
+        arrays serve as the restore target, so the checkpoint re-shards onto
+        THIS job's mesh (elastic rejoin on a different host/chip count)."""
         import orbax.checkpoint as ocp
 
-        ckptr = ocp.StandardCheckpointer()
         bundle = self._elastic_bundle()
-        restored = ckptr.restore(os.path.abspath(dir_path),
-                                 self._pack_empty(bundle))
+        with self._elastic_manager(dir_path) as mgr:
+            latest = mgr.latest_step()
+            if latest is None:
+                logger.warning(f"no elastic checkpoint under {dir_path}; "
+                               f"starting fresh")
+                return 0
+            restored = mgr.restore(latest, args=ocp.args.StandardRestore(
+                self._pack_empty(bundle)))
         # zero-size leaves were saved as placeholders — keep ours instead
         restored = jax.tree_util.tree_map(
             lambda orig, r: orig if np.size(orig) == 0 else r,
@@ -429,6 +444,11 @@ class PPOTrainer:
         start_iter = 0
         if resume and ckpt_dir and os.path.isdir(ckpt_dir):
             start_iter = self.restore_training_state(ckpt_dir)
+        if start_iter >= iters:
+            logger.info(f"resume: checkpoint already at iter {start_iter} >= "
+                        f"{iters} requested — nothing to train")
+            return []
+        last_saved = start_iter if start_iter else None
 
         obs = self.obs
         env_carry = self.env_carry
@@ -445,6 +465,7 @@ class PPOTrainer:
             if ckpt_dir and save_every and (it + 1) % save_every == 0:
                 self.env_carry, self.obs, self._iter = env_carry, obs, it + 1
                 self.save_training_state(ckpt_dir)
+                last_saved = it + 1
             if it % log_every == 0 or it == iters - 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iter"] = it
@@ -461,7 +482,7 @@ class PPOTrainer:
         self.env_carry = env_carry
         self.obs = obs
         self._iter = iters
-        if ckpt_dir and save_every:
+        if ckpt_dir and save_every and last_saved != iters:
             self.save_training_state(ckpt_dir)
         if hasattr(self.task, "set_carry"):
             self.task.set_carry(env_carry)
@@ -538,6 +559,9 @@ def main():
     history = trainer.train(logdir=args.logdir, track=args.track,
                             ckpt_dir=args.ckpt_dir,
                             save_every=args.save_every, resume=args.resume)
+    if not history:
+        print("nothing to train (resumed checkpoint already complete)")
+        return
     print(f"final reward: {history[-1]['reward_mean']:.3f} "
           f"({history[-1]['wall_s']:.1f}s wall)")
 

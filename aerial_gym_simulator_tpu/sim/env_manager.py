@@ -178,6 +178,7 @@ class EnvManager:
             fn = render_camera if self.params.camera is not None else render_lidar
             params = self.params
             self._jit_render = jax.jit(lambda s, k: fn(params, s, noise_key=k))
+        if self._render_key is None:   # may already be set by load_state()
             self._render_key = jax.random.PRNGKey(
                 self._py_rng.getrandbits(31))
         self._render_key, k = jax.random.split(self._render_key)
@@ -206,6 +207,8 @@ class EnvManager:
         arrs["step_counter"] = np.asarray(self.step_counter)
         arrs["py_rng"] = np.frombuffer(
             pickle.dumps(self._py_rng.getstate()), np.uint8)
+        if self._render_key is not None:
+            arrs["render_key"] = np.asarray(self._render_key)
         with open(path, "wb") as f:
             np.savez(f, **arrs)
         logger.info(f"sim state saved to {path} ({len(leaves)} arrays)")
@@ -231,6 +234,15 @@ class EnvManager:
         self.state = jax.tree_util.tree_unflatten(treedef, new_leaves)
         self.step_counter = int(data["step_counter"])
         self._py_rng.setstate(pickle.loads(data["py_rng"].tobytes()))
+        # render-path state: restore the sensor-noise key stream and drop
+        # frames captured on the abandoned trajectory (next render() or the
+        # first render of a sensor-less sim re-fills them)
+        if "render_key" in data.files:
+            self._render_key = jnp.asarray(data["render_key"])
+        else:
+            self._render_key = None
+        self._sensor_frames = None
+        self._sensor_seg = None
         logger.info(f"sim state loaded from {path}")
 
     def log_memory_use(self):

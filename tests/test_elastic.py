@@ -85,6 +85,29 @@ def test_sim_state_checkpoint_exact_replay(tmp_path):
     assert env.step_counter == steps_a
 
 
+def test_sim_state_checkpoint_replays_sensor_noise(tmp_path):
+    """save_state/load_state also restore the render-path key stream, so
+    noisy sensor captures replay exactly (not just the dynamics)."""
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=2, seed=1)
+    actions = jnp.zeros((2, 4), jnp.float32)
+    env.step(actions)
+    env.render()                      # consumes one render key
+    path = str(tmp_path / "cam_state.npz")
+    env.save_state(path)
+
+    f1 = np.asarray(env.render()).copy()
+    f2 = np.asarray(env.render()).copy()
+
+    env.load_state(path)
+    assert env._sensor_frames is None  # stale frames dropped
+    np.testing.assert_array_equal(np.asarray(env.render()), f1)
+    np.testing.assert_array_equal(np.asarray(env.render()), f2)
+
+
 def test_elastic_rejoin_on_different_topology(tmp_path):
     """A run preempted on 8 devices rejoins on 4: restore re-shards every
     array to the new mesh and training continues."""
