@@ -28,7 +28,8 @@ from flax.training.train_state import TrainState
 
 from ..sim.structs import SimParams, SimState
 from ..utils.logging import CustomLogger
-from .networks import ActorCritic, gaussian_entropy, gaussian_logp, sample_action
+from .networks import (ActorCritic, ActorCriticGRU, gaussian_entropy,
+                       gaussian_logp, sample_action)
 
 logger = CustomLogger("ppo")
 
@@ -54,6 +55,13 @@ class PPOConfig:
     normalize_obs: bool = True
     reward_scale: float = 0.1
     seed: int = 42
+    # recurrent policy: None (MLP) or "gru". With "gru" the policy carries
+    # a hidden state across steps (ActorCriticGRU); the PPO update replays
+    # whole env sequences (truncated BPTT over the horizon) and minibatches
+    # over ENVS instead of steps. The reference can only train recurrent
+    # policies via the external sample-factory stack; here it is native.
+    rnn: Optional[str] = None
+    rnn_hidden: int = 256
     # matmul precision for the NETWORK ops (policy inference + grads; the
     # env physics keeps default precision). TPU f32 matmuls decompose into
     # multiple bf16 passes; "bfloat16" runs the MXU natively (~3x on the
@@ -236,6 +244,161 @@ def make_train_step(step_fn, cfg: PPOConfig):
     return train_step
 
 
+def make_train_step_rnn(step_fn, cfg: PPOConfig):
+    """Recurrent variant of :func:`make_train_step` (cfg.rnn == "gru").
+
+    Differences from the MLP path, all forced by recurrence:
+      * the rollout scan carries the GRU hidden state, zeroed at episode
+        boundaries (done masking) — the env carry becomes
+        ``(task_carry, hidden, done_prev)`` so elastic checkpoints and
+        shard_trainer cover it for free;
+      * the PPO update minibatches over ENVS (whole sequences), replaying
+        each sequence from the stored rollout-start hidden with the
+        CURRENT params (a lax.scan over the horizon inside the loss) —
+        hiddens are never stale, unlike rl-games' stored-hidden replay;
+      * sequences pack as contiguous (env, T*D) rows so the per-epoch
+        shuffle stays one wide row-gather (same TPU rule as the MLP path:
+        never gather small rows).
+    """
+
+    N, T = cfg.num_envs, cfg.horizon
+    mb_envs = max(min(cfg.minibatch_size // T, N), 1)
+    n_minibatches = max(N // mb_envs, 1)
+
+    def apply_net(net_params, ts, x, h):
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return ts.apply_fn(net_params, x, h)
+
+    def env_step(carry, _):
+        ts, (env_carry, h, done_prev), obs, key, norm = carry
+        key, akey = jax.random.split(key)
+        norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
+        h_in = h * (1.0 - done_prev)[:, None]
+        mean, log_std, value, h_new = apply_net(ts.params, ts, norm_obs, h_in)
+        action, logp = sample_action(mean, log_std, akey)
+        env_carry, next_obs, reward, term, trunc = step_fn(env_carry, action)
+        done = jnp.maximum(term, trunc)
+        transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
+                      done, term, done_prev)
+        return (ts, (env_carry, h_new, done), next_obs, key, norm), transition
+
+    def compute_gae(values, rewards, dones, last_value):
+        def scan_fn(gae, t):
+            v, r, d, v_next = t
+            delta = r + cfg.gamma * v_next * (1.0 - d) - v
+            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - d) * gae
+            return gae, gae
+
+        v_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
+        _, adv = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
+                              (values, rewards, dones, v_next), reverse=True)
+        return adv, adv + values
+
+    def loss_fn(net_params, ts, mb, h0_mb):
+        # mb fields are (E, T, ...); replay time-major inside the loss
+        obs, action, old_logp, old_value, adv, ret, done_prev = mb
+        tm = lambda x: jnp.swapaxes(x, 0, 1)  # (T, E, ...)
+
+        def cell(h, xs):
+            o_t, dp_t = xs
+            h = h * (1.0 - dp_t)[:, None]
+            mean, log_std, value, h = apply_net(net_params, ts, o_t, h)
+            return h, (mean, log_std, value)
+
+        _, (means, log_stds, values) = jax.lax.scan(
+            cell, h0_mb, (tm(obs), tm(done_prev)))
+        log_std = log_stds[0]  # the (A,) param, identical every step
+
+        logp = gaussian_logp(means, log_std, tm(action))
+        ratio = jnp.exp(logp - tm(old_logp))
+        adv_t = tm(adv)
+        pg1 = -adv_t * ratio
+        pg2 = -adv_t * jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
+        pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
+        old_v_t, ret_t = tm(old_value), tm(ret)
+        v_clipped = old_v_t + jnp.clip(values - old_v_t, -cfg.clip_eps,
+                                       cfg.clip_eps)
+        v_loss = 0.5 * jnp.mean(jnp.maximum((values - ret_t) ** 2,
+                                            (v_clipped - ret_t) ** 2))
+        ent = jnp.mean(gaussian_entropy(log_std))
+        total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
+        return total, (pg_loss, v_loss, ent)
+
+    def train_step(ts: TrainState, env_carry_ext, obs, key, norm):
+        _, h0, _ = env_carry_ext
+        (ts, (env_carry, h_last, done_last), obs, key, norm), traj = jax.lax.scan(
+            env_step, (ts, env_carry_ext, obs, key, norm), None, length=T)
+        (norm_obs_t, actions_t, logps_t, values_t, rewards_t, dones_t,
+         terms_t, done_prev_t) = traj
+
+        if cfg.normalize_obs:
+            norm = RunningMeanStd.update(norm, norm_obs_t.reshape(N * T, -1))
+
+        last_norm_obs = (RunningMeanStd.normalize(norm, obs)
+                         if cfg.normalize_obs else obs)
+        h_in = h_last * (1.0 - done_last)[:, None]
+        _, _, last_value, _ = apply_net(ts.params, ts, last_norm_obs, h_in)
+        adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
+
+        # pack sequences as contiguous per-env rows: (T, N, D) -> (N, T*D)
+        obs_dim = norm_obs_t.shape[-1]
+        act_dim = actions_t.shape[-1]
+        col = lambda x: x[..., None]
+        data3d = jnp.concatenate(
+            [norm_obs_t, actions_t, col(logps_t), col(values_t), col(adv_t),
+             col(ret_t), col(done_prev_t)], axis=-1)
+        Dt = data3d.shape[-1]
+        data_rows = jnp.swapaxes(data3d, 0, 1).reshape(N, T * Dt)
+
+        def unpack(rows):
+            x = rows.reshape(-1, T, Dt)
+            o = x[..., :obs_dim]
+            a = x[..., obs_dim:obs_dim + act_dim]
+            rest = x[..., obs_dim + act_dim:]
+            return (o, a, rest[..., 0], rest[..., 1], rest[..., 2],
+                    rest[..., 3], rest[..., 4])
+
+        def epoch(carry, _):
+            ts, key = carry
+            key, pkey = jax.random.split(key)
+            perm = jax.random.permutation(pkey, N)
+            shuffled = data_rows[perm]
+            h0_perm = h0[perm]
+
+            def minibatch(ts, i):
+                rows = jax.lax.dynamic_slice_in_dim(
+                    shuffled, i * mb_envs, mb_envs, axis=0)
+                h0_mb = jax.lax.dynamic_slice_in_dim(
+                    h0_perm, i * mb_envs, mb_envs, axis=0)
+                mb = unpack(rows)
+                if cfg.normalize_advantage:
+                    adv = mb[4]
+                    adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+                    mb = mb[:4] + (adv,) + mb[5:]
+                grads, aux = jax.grad(loss_fn, has_aux=True)(
+                    ts.params, ts, mb, h0_mb)
+                return ts.apply_gradients(grads=grads), aux
+
+            ts, aux = jax.lax.scan(minibatch, ts, jnp.arange(n_minibatches))
+            return (ts, key), aux
+
+        (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
+        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+
+        metrics = {
+            "reward_mean": rewards_t.mean() / cfg.reward_scale,
+            "done_rate": dones_t.mean(),
+            "crash_rate": terms_t.mean(),
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": ent,
+            "value_mean": values_t.mean(),
+        }
+        return ts, (env_carry, h_last, done_last), obs, key, norm, metrics
+
+    return train_step
+
+
 class PPOTrainer:
     """Host-side loop around the jitted train step (CleanRL-runner analog)."""
 
@@ -245,11 +408,21 @@ class PPOTrainer:
         obs_dim = task.task_config.observation_space_dim
         act_dim = task.task_config.action_space_dim
 
-        self.network = ActorCritic(action_dim=act_dim, hidden=cfg.hidden,
-                                   activation=cfg.activation)
         key = jax.random.PRNGKey(cfg.seed)
         key, init_key = jax.random.split(key)
-        net_params = self.network.init(init_key, jnp.zeros((1, obs_dim)))
+        if cfg.rnn == "gru":
+            self.network = ActorCriticGRU(action_dim=act_dim,
+                                          hidden=cfg.hidden,
+                                          rnn_hidden=cfg.rnn_hidden,
+                                          activation=cfg.activation)
+            net_params = self.network.init(init_key, jnp.zeros((1, obs_dim)),
+                                           jnp.zeros((1, cfg.rnn_hidden)))
+        elif cfg.rnn is None:
+            self.network = ActorCritic(action_dim=act_dim, hidden=cfg.hidden,
+                                       activation=cfg.activation)
+            net_params = self.network.init(init_key, jnp.zeros((1, obs_dim)))
+        else:
+            raise ValueError(f"unknown rnn type {cfg.rnn!r} (None or 'gru')")
         tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.lr, eps=1e-5),
@@ -261,8 +434,19 @@ class PPOTrainer:
         self._iter = 0  # next training iteration (elastic resume cursor)
 
         env_step_fn, self.env_carry, self.obs = task.make_step_fn()
-        self.train_step_fn = make_train_step(env_step_fn, cfg)
+        if cfg.rnn == "gru":
+            # fold the policy hidden state + boundary mask into the env
+            # carry: elastic checkpoints, shard_trainer and donation then
+            # cover them with zero extra plumbing
+            self.env_carry = (self.env_carry,
+                              jnp.zeros((cfg.num_envs, cfg.rnn_hidden),
+                                        jnp.float32),
+                              jnp.zeros((cfg.num_envs,), jnp.float32))
+            self.train_step_fn = make_train_step_rnn(env_step_fn, cfg)
+        else:
+            self.train_step_fn = make_train_step(env_step_fn, cfg)
         self._train_step = jax.jit(self.train_step_fn, donate_argnums=(1,))
+        self._act_h = None  # recurrent act() hidden (play/deployment)
 
     def save_checkpoint(self, path: str):
         """Serialize network params + obs-normalizer state (reference analog:
@@ -408,12 +592,24 @@ class PPOTrainer:
                     f"(resuming at iter {self._iter})")
         return self._iter
 
+    def reset_act_hidden(self):
+        """Reset the recurrent hidden state used by :meth:`act` (call at
+        episode boundaries during play/deployment; no-op for MLP)."""
+        self._act_h = None
+
     def act(self, obs, deterministic: bool = True):
         """Policy inference (used by play mode + sim2real deployment)."""
         norm_obs = (RunningMeanStd.normalize(self.norm, obs)
                     if self.cfg.normalize_obs else obs)
-        mean, log_std, _ = self.train_state.apply_fn(self.train_state.params,
-                                                     norm_obs)
+        if self.cfg.rnn == "gru":
+            if self._act_h is None or self._act_h.shape[0] != obs.shape[0]:
+                self._act_h = jnp.zeros((obs.shape[0], self.cfg.rnn_hidden),
+                                        jnp.float32)
+            mean, log_std, _, self._act_h = self.train_state.apply_fn(
+                self.train_state.params, norm_obs, self._act_h)
+        else:
+            mean, log_std, _ = self.train_state.apply_fn(
+                self.train_state.params, norm_obs)
         if deterministic:
             return mean
         self.key, akey = jax.random.split(self.key)
@@ -528,6 +724,10 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="resume from --ckpt_dir if a checkpoint exists "
                         "(works across device topologies)")
+    p.add_argument("--rnn", default=None, choices=[None, "gru"],
+                   help="recurrent policy core (GRU actor-critic; the "
+                        "reference needs external sample-factory for this)")
+    p.add_argument("--rnn_hidden", type=int, default=256)
     args = p.parse_args()
 
     # must run before ANY backend use — importing this package is kept free
@@ -551,7 +751,8 @@ def main():
                                       seed=args.seed, task_config=task_config)
     cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
                     minibatch_size=min(8192, args.num_envs * args.horizon),
-                    total_env_steps=args.total_steps, seed=args.seed)
+                    total_env_steps=args.total_steps, seed=args.seed,
+                    rnn=args.rnn, rnn_hidden=args.rnn_hidden)
     trainer = PPOTrainer(task, cfg)
     if args.multichip or args.multihost:
         from ..parallel.distributed import shard_trainer
