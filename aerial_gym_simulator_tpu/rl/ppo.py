@@ -99,6 +99,37 @@ class RunningMeanStd:
         return jnp.clip((x - s["mean"]) / jnp.sqrt(s["var"] + 1e-8), -5.0, 5.0)
 
 
+def _gae(gamma: float, lam: float, values, rewards, dones, last_value):
+    """GAE(lambda) over a time-major (T, N) rollout — shared by the MLP and
+    RNN train steps so the bootstrapping math can never diverge between
+    them (reference analog: cleanrl ppo_continuous_action.py GPU-vectorized
+    GAE)."""
+    def scan_fn(gae, t):
+        v, r, d, v_next = t
+        delta = r + gamma * v_next * (1.0 - d) - v
+        gae = delta + gamma * lam * (1.0 - d) * gae
+        return gae, gae
+
+    v_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
+    _, adv = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
+                          (values, rewards, dones, v_next), reverse=True)
+    return adv, adv + values
+
+
+def _rollout_metrics(cfg: PPOConfig, rewards_t, dones_t, terms_t, values_t,
+                     aux):
+    pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+    return {
+        "reward_mean": rewards_t.mean() / cfg.reward_scale,
+        "done_rate": dones_t.mean(),
+        "crash_rate": terms_t.mean(),
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": ent,
+        "value_mean": values_t.mean(),
+    }
+
+
 def make_train_step(step_fn, cfg: PPOConfig):
     """Build the single jitted train step over ANY fused task step.
 
@@ -110,6 +141,13 @@ def make_train_step(step_fn, cfg: PPOConfig):
     N, T = cfg.num_envs, cfg.horizon
     batch = N * T
     n_minibatches = max(batch // cfg.minibatch_size, 1)
+    if batch % cfg.minibatch_size:
+        dropped = batch - n_minibatches * cfg.minibatch_size
+        logger.warning(
+            f"batch {batch} (= {N} envs x {T} horizon) is not a multiple of "
+            f"minibatch_size {cfg.minibatch_size}: {dropped} samples "
+            f"({100.0 * dropped / batch:.1f}%) are dropped from every epoch "
+            f"(a random subset per shuffle)")
 
     # matmul precision is scoped to the NETWORK ops only (policy inference
     # + grads, where the speedup lives); the env physics traced by step_fn
@@ -130,20 +168,6 @@ def make_train_step(step_fn, cfg: PPOConfig):
         transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
                       done, term)
         return (ts, env_carry, next_obs, key, norm), transition
-
-    def compute_gae(values, rewards, dones, last_value):
-        # time-major (T, N)
-        def scan_fn(carry, t):
-            gae = carry
-            v, r, d, v_next = t
-            delta = r + cfg.gamma * v_next * (1.0 - d) - v
-            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - d) * gae
-            return gae, gae
-
-        v_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
-        _, adv = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
-                              (values, rewards, dones, v_next), reverse=True)
-        return adv, adv + values
 
     def loss_fn(net_params, ts, mb):
         obs, action, old_logp, old_value, adv, ret = mb
@@ -173,7 +197,8 @@ def make_train_step(step_fn, cfg: PPOConfig):
         last_norm_obs = (RunningMeanStd.normalize(norm, obs)
                          if cfg.normalize_obs else obs)
         _, _, last_value = apply_net(ts.params, ts, last_norm_obs)
-        adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
+        adv_t, ret_t = _gae(cfg.gamma, cfg.gae_lambda, values_t, rewards_t,
+                            dones_t, last_value)
 
         flat = lambda x: x.reshape((batch,) + x.shape[2:])
         # Pack every per-sample array into ONE (batch, D) matrix so the
@@ -228,17 +253,8 @@ def make_train_step(step_fn, cfg: PPOConfig):
             return (ts, key), aux
 
         (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
-        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
-
-        metrics = {
-            "reward_mean": rewards_t.mean() / cfg.reward_scale,
-            "done_rate": dones_t.mean(),
-            "crash_rate": terms_t.mean(),
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": ent,
-            "value_mean": values_t.mean(),
-        }
+        metrics = _rollout_metrics(cfg, rewards_t, dones_t, terms_t,
+                                   values_t, aux)
         return ts, env_carry, obs, key, norm, metrics
 
     return train_step
@@ -264,6 +280,18 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
     N, T = cfg.num_envs, cfg.horizon
     mb_envs = max(min(cfg.minibatch_size // T, N), 1)
     n_minibatches = max(N // mb_envs, 1)
+    if mb_envs * T != min(cfg.minibatch_size, N * T):
+        logger.info(
+            f"rnn minibatches are whole env sequences: effective minibatch "
+            f"is {mb_envs} envs x {T} steps = {mb_envs * T} samples "
+            f"(requested minibatch_size {cfg.minibatch_size})")
+    if N % mb_envs:
+        dropped = N - n_minibatches * mb_envs
+        logger.warning(
+            f"num_envs {N} is not a multiple of the {mb_envs}-env sequence "
+            f"minibatch: {dropped} env sequences "
+            f"({100.0 * dropped / N:.1f}% of collected data) are dropped "
+            f"from every epoch (a random subset per shuffle)")
 
     def apply_net(net_params, ts, x, h):
         with jax.default_matmul_precision(cfg.matmul_precision):
@@ -282,18 +310,6 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
                       done, term, done_prev)
         return (ts, (env_carry, h_new, done), next_obs, key, norm), transition
 
-    def compute_gae(values, rewards, dones, last_value):
-        def scan_fn(gae, t):
-            v, r, d, v_next = t
-            delta = r + cfg.gamma * v_next * (1.0 - d) - v
-            gae = delta + cfg.gamma * cfg.gae_lambda * (1.0 - d) * gae
-            return gae, gae
-
-        v_next = jnp.concatenate([values[1:], last_value[None]], axis=0)
-        _, adv = jax.lax.scan(scan_fn, jnp.zeros_like(last_value),
-                              (values, rewards, dones, v_next), reverse=True)
-        return adv, adv + values
-
     def loss_fn(net_params, ts, mb, h0_mb):
         # mb fields are (E, T, ...); replay time-major inside the loss
         obs, action, old_logp, old_value, adv, ret, done_prev = mb
@@ -302,12 +318,14 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
         def cell(h, xs):
             o_t, dp_t = xs
             h = h * (1.0 - dp_t)[:, None]
-            mean, log_std, value, h = apply_net(net_params, ts, o_t, h)
-            return h, (mean, log_std, value)
+            mean, _, value, h = apply_net(net_params, ts, o_t, h)
+            return h, (mean, value)
 
-        _, (means, log_stds, values) = jax.lax.scan(
+        _, (means, values) = jax.lax.scan(
             cell, h0_mb, (tm(obs), tm(done_prev)))
-        log_std = log_stds[0]  # the (A,) param, identical every step
+        # the (A,) log_std param is scan-independent: read it once from the
+        # params instead of emitting a (T, A) copy per step
+        log_std = net_params["params"]["log_std"]
 
         logp = gaussian_logp(means, log_std, tm(action))
         ratio = jnp.exp(logp - tm(old_logp))
@@ -338,7 +356,8 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
                          if cfg.normalize_obs else obs)
         h_in = h_last * (1.0 - done_last)[:, None]
         _, _, last_value, _ = apply_net(ts.params, ts, last_norm_obs, h_in)
-        adv_t, ret_t = compute_gae(values_t, rewards_t, dones_t, last_value)
+        adv_t, ret_t = _gae(cfg.gamma, cfg.gae_lambda, values_t, rewards_t,
+                            dones_t, last_value)
 
         # pack sequences as contiguous per-env rows: (T, N, D) -> (N, T*D)
         obs_dim = norm_obs_t.shape[-1]
@@ -383,17 +402,8 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
             return (ts, key), aux
 
         (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
-        pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
-
-        metrics = {
-            "reward_mean": rewards_t.mean() / cfg.reward_scale,
-            "done_rate": dones_t.mean(),
-            "crash_rate": terms_t.mean(),
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": ent,
-            "value_mean": values_t.mean(),
-        }
+        metrics = _rollout_metrics(cfg, rewards_t, dones_t, terms_t,
+                                   values_t, aux)
         return ts, (env_carry, h_last, done_last), obs, key, norm, metrics
 
     return train_step
@@ -476,6 +486,7 @@ class PPOTrainer:
                                           blob["params"])
         self.train_state = self.train_state.replace(params=params)
         self.norm = {k: jnp.asarray(v) for k, v in blob["norm"].items()}
+        self._act_h = None  # stale hidden from the old params is meaningless
         logger.info(f"checkpoint loaded from {path}")
 
     def save_checkpoint_orbax(self, dir_path: str):
@@ -501,6 +512,7 @@ class PPOTrainer:
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"])
         self.norm = restored["norm"]
+        self._act_h = None  # stale hidden from the old params is meaningless
         logger.info(f"orbax checkpoint loaded from {dir_path}")
 
     # ---- elastic recovery (SURVEY 5.3 north-star scope) -------------------
@@ -588,23 +600,40 @@ class PPOTrainer:
         self.obs = restored["obs"]
         self.key = restored["key"]
         self._iter = int(restored["iter"])
+        self._act_h = None  # stale hidden from the old params is meaningless
         logger.info(f"elastic checkpoint restored from {dir_path} "
                     f"(resuming at iter {self._iter})")
         return self._iter
 
-    def reset_act_hidden(self):
-        """Reset the recurrent hidden state used by :meth:`act` (call at
-        episode boundaries during play/deployment; no-op for MLP)."""
-        self._act_h = None
+    def reset_act_hidden(self, env_ids=None):
+        """Reset the recurrent hidden state used by :meth:`act` — all envs,
+        or just `env_ids` (call at episode boundaries during
+        play/deployment; no-op for MLP). Vectorized callers that step envs
+        with auto-reset should instead pass the previous step's dones to
+        :meth:`act`, which does this masking automatically."""
+        if env_ids is None:
+            self._act_h = None
+        elif self._act_h is not None:
+            self._act_h = self._act_h.at[jnp.asarray(env_ids)].set(0.0)
 
-    def act(self, obs, deterministic: bool = True):
-        """Policy inference (used by play mode + sim2real deployment)."""
+    def act(self, obs, deterministic: bool = True, done_prev=None):
+        """Policy inference (used by play mode + sim2real deployment).
+
+        done_prev: optional (N,) 0/1 mask of envs that finished an episode
+        on the PREVIOUS step. For the recurrent policy this zeroes those
+        envs' hidden state before the forward pass — exactly the masking
+        the rollout applies during training — so play/eval sees the same
+        hidden-state distribution the policy was trained on.
+        """
         norm_obs = (RunningMeanStd.normalize(self.norm, obs)
                     if self.cfg.normalize_obs else obs)
         if self.cfg.rnn == "gru":
             if self._act_h is None or self._act_h.shape[0] != obs.shape[0]:
                 self._act_h = jnp.zeros((obs.shape[0], self.cfg.rnn_hidden),
                                         jnp.float32)
+            elif done_prev is not None:
+                self._act_h = self._act_h * (
+                    1.0 - jnp.asarray(done_prev, jnp.float32))[:, None]
             mean, log_std, _, self._act_h = self.train_state.apply_fn(
                 self.train_state.params, norm_obs, self._act_h)
         else:
@@ -681,7 +710,9 @@ class PPOTrainer:
         if ckpt_dir and save_every and last_saved != iters:
             self.save_training_state(ckpt_dir)
         if hasattr(self.task, "set_carry"):
-            self.task.set_carry(env_carry)
+            # the RNN path extends the env carry with (hidden, done_prev);
+            # the task only owns the bare task carry
+            self.task.set_carry(env_carry[0] if self.cfg.rnn else env_carry)
         return history
 
 

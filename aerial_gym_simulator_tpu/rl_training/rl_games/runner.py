@@ -113,8 +113,10 @@ def run(args) -> dict:
     env = ExtractObsWrapper(task)
     obs = env.reset()
     total_reward = 0.0
+    dones = None  # recurrent policies zero per-env hidden at episode starts
     for _ in range(args.play_steps):
-        action = trainer.act(jnp.asarray(obs), deterministic=True)
+        action = trainer.act(jnp.asarray(obs), deterministic=True,
+                             done_prev=dones)
         obs, rew, dones, infos = env.step(action)
         total_reward += float(rew.mean())
     return {"mean_step_reward": total_reward / args.play_steps}

@@ -18,7 +18,7 @@ into the same numpy-only deployment formats (torch needed once, at
 conversion time). ``NumpyRecurrentPolicy`` runs the recurrent ones.
 """
 
-from .numpy_policy import NumpyPolicy, export_policy_npz
+from .numpy_policy import NumpyPolicy, export_policy_npz, load_policy_npz
 from .nn_inference_class import Sim2RealInferenceClass
 from .sample_factory_inference import RL_Nav_Interface
 from .torch_import import (NumpyRecurrentPolicy, import_rl_games_policy,
@@ -27,6 +27,7 @@ from .torch_import import (NumpyRecurrentPolicy, import_rl_games_policy,
 __all__ = [
     "NumpyPolicy",
     "export_policy_npz",
+    "load_policy_npz",
     "Sim2RealInferenceClass",
     "RL_Nav_Interface",
     "NumpyRecurrentPolicy",

@@ -12,7 +12,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ..utils.logging import CustomLogger
-from .numpy_policy import NumpyPolicy, export_policy_npz
+from .numpy_policy import export_policy_npz, load_policy_npz
 
 logger = CustomLogger("sim2real_inference")
 
@@ -23,13 +23,13 @@ class Sim2RealInferenceClass:
         self.num_envs = num_envs
         self.num_actions = num_actions
         self.num_obs = num_obs
-        if checkpoint_path.endswith(".npz"):
-            self.policy = NumpyPolicy(checkpoint_path)
-        else:
+        if not checkpoint_path.endswith(".npz"):
             # training checkpoint: convert on the fly
             npz = checkpoint_path + ".npz"
             export_policy_npz(checkpoint_path, npz)
-            self.policy = NumpyPolicy(npz)
+            checkpoint_path = npz
+        # recurrent archives get the GRU runner, MLP ones the plain runner
+        self.policy = load_policy_npz(checkpoint_path, num_envs=num_envs)
         if self.policy.action_dim != num_actions:
             logger.warning(
                 f"checkpoint action dim {self.policy.action_dim} != requested "
@@ -37,8 +37,11 @@ class Sim2RealInferenceClass:
         logger.info(f"loaded policy from {checkpoint_path}")
 
     def reset(self, env_ids: Optional[Sequence[int]] = None):
-        # feed-forward policy: nothing to reset (reference zeroes RNN states)
-        return
+        # recurrent policies zero their per-env GRU hidden here, exactly
+        # like the reference's inference class (nn_inference_class.py reset
+        # semantics); feed-forward policies have nothing to reset
+        if hasattr(self.policy, "reset"):
+            self.policy.reset(env_ids)
 
     def get_action(self, obs, get_np: bool = True, get_robot_zero: bool = False):
         obs = np.asarray(obs, np.float32)

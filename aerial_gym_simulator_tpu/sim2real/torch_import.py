@@ -156,9 +156,6 @@ def import_sample_factory_policy(pth_path: str, npz_path: str) -> str:
     return npz_path
 
 
-from .numpy_policy import _elu  # shared overflow-safe ELU
-
-
 def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
@@ -174,9 +171,15 @@ class NumpyRecurrentPolicy:
 
     def __init__(self, npz_path: str, num_envs: int = 1,
                  action_dim: Optional[int] = None):
-        z = np.load(npz_path)
+        z = np.load(npz_path, allow_pickle=True)
         self.z = {k: z[k] for k in z.files}
         self.num_envs = num_envs
+        # imported sample-factory archives predate these keys: their
+        # normalizer epsilon is 1e-5 (sample-factory's) and encoder is ELU;
+        # archives exported from our own GRU checkpoints carry both
+        from .numpy_policy import _ACT
+        self.act = _ACT[str(self.z.get("activation", "elu"))]
+        self.norm_eps = float(self.z.get("norm_eps", 1e-5))
         self.recurrent = bool(self.z["recurrent"])
         self.hidden_dim = (self.z["gru_Whh"].shape[1] if self.recurrent
                            else 0)
@@ -224,10 +227,10 @@ class NumpyRecurrentPolicy:
         if squeeze:
             x = x[None]
         if bool(z["normalize_obs"]):
-            x = (x - z["norm_mean"]) / np.sqrt(z["norm_var"] + 1e-5)
+            x = (x - z["norm_mean"]) / np.sqrt(z["norm_var"] + self.norm_eps)
             x = np.clip(x, -5.0, 5.0)
         for i in range(int(z["n_enc"])):
-            x = _elu(x @ z[f"enc_W{i}"] + z[f"enc_b{i}"])
+            x = self.act(x @ z[f"enc_W{i}"] + z[f"enc_b{i}"])
         if self.recurrent:
             x = self._gru_step(x)
         out = x @ z["head_W"] + z["head_b"]

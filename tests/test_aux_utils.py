@@ -32,6 +32,42 @@ def test_numpy_policy_matches_jax(tmp_path):
     np.testing.assert_allclose(a_np, a_jax, atol=1e-5)
 
 
+def test_numpy_recurrent_export_matches_jax(tmp_path):
+    """A natively-trained GRU checkpoint exports to the recurrent archive
+    and NumpyRecurrentPolicy reproduces trainer.act() exactly across steps,
+    including zeroing per-env hidden at episode boundaries."""
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from aerial_gym_simulator_tpu.sim2real import (NumpyRecurrentPolicy,
+                                                   export_policy_npz,
+                                                   load_policy_npz)
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                      seed=0)
+    cfg = PPOConfig(num_envs=8, horizon=4, minibatch_size=32, seed=0,
+                    rnn="gru", rnn_hidden=16, hidden=(32, 16))
+    trainer = PPOTrainer(task, cfg)
+    ckpt = str(tmp_path / "g.ckpt")
+    trainer.save_checkpoint(ckpt)
+    npz = str(tmp_path / "g.npz")
+    export_policy_npz(ckpt, npz)
+    policy = load_policy_npz(npz, num_envs=5)
+    assert isinstance(policy, NumpyRecurrentPolicy)
+    assert policy.recurrent and policy.action_dim == 4
+
+    rng = np.random.RandomState(7)
+    dones = None
+    for t in range(6):
+        obs = rng.randn(5, 13).astype(np.float32)
+        a_jax = np.asarray(trainer.act(jnp.asarray(obs), deterministic=True,
+                                       done_prev=dones))
+        if dones is not None:
+            policy.reset(np.nonzero(dones)[0])
+        a_np = policy(obs)
+        np.testing.assert_allclose(a_np, a_jax, atol=1e-5,
+                                   err_msg=f"step {t}")
+        dones = (rng.rand(5) < 0.3).astype(np.float32)
+
+
 def test_sim2real_inference_class(tmp_path):
     from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
     from aerial_gym_simulator_tpu.sim2real import Sim2RealInferenceClass

@@ -73,6 +73,24 @@ def test_gru_act_is_stateful_and_resettable():
     a3 = np.asarray(tr.act(obs))
     np.testing.assert_array_equal(a1, a3)
 
+    # per-env episode-boundary masking: done_prev zeroes ONLY those envs'
+    # hidden, reproducing the rollout's train-time masking at play time
+    tr.reset_act_hidden()
+    np.asarray(tr.act(obs))
+    a_mask = np.asarray(tr.act(obs, done_prev=jnp.array([1.0, 0.0, 0.0])))
+    tr.reset_act_hidden()
+    fresh = np.asarray(tr.act(obs))  # env 0's hidden was zeroed -> as fresh
+    np.testing.assert_array_equal(a_mask[0], fresh[0])
+    assert not np.array_equal(a_mask[1], fresh[1])
+
+    # per-env reset_act_hidden(env_ids) matches the done_prev path
+    tr.reset_act_hidden()
+    np.asarray(tr.act(obs))
+    tr.reset_act_hidden(env_ids=[0])
+    a_ids = np.asarray(tr.act(obs))
+    np.testing.assert_array_equal(a_ids[0], fresh[0])
+    assert not np.array_equal(a_ids[1], fresh[1])
+
 
 def test_gru_ppo_trains_real_task_and_resumes(tmp_path):
     """GRU PPO on the position task: compiles, runs, and the elastic
@@ -94,6 +112,11 @@ def test_gru_ppo_trains_real_task_and_resumes(tmp_path):
     straight = make()
     h1 = straight.train(total_env_steps=4 * spi)
     assert np.isfinite(h1[-1]["reward_mean"])
+    # train() hands the BARE task carry back to the task (not the
+    # RNN-extended tuple): the task must remain usable afterwards
+    obs, rew, term, trunc, _ = straight.task.step(
+        jnp.zeros((n, straight.task.task_config.action_space_dim)))
+    assert np.isfinite(np.asarray(rew)).all()
 
     victim = make()
     victim.train(total_env_steps=2 * spi, ckpt_dir=ckpt, save_every=2)
