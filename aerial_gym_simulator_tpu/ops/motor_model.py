@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sim.structs import MotorParams
-from ..utils.math import tensor_clamp
+from ..utils.math import safe_sqrt, tensor_clamp
 
 
 def _rate(error, mixing_factor, max_rate):
@@ -57,8 +57,10 @@ def motor_step(
     if p.use_rps:
         # rpm-domain first-order response: f = kt * w^2
         safe_kt = jnp.maximum(thrust_constant, 1e-12)
-        cur_rpm = jnp.sqrt(jnp.maximum(current_thrust, 0.0) / safe_kt)
-        des_rpm = jnp.sqrt(jnp.maximum(ref_thrust, 0.0) / safe_kt)
+        # safe_sqrt: gradient finite at thrust == 0 (min_thrust clamp), so
+        # whole-rollout reverse-mode AD stays NaN-free
+        cur_rpm = safe_sqrt(current_thrust / safe_kt)
+        des_rpm = safe_sqrt(ref_thrust / safe_kt)
         if p.integration_scheme == "euler":
             new_rpm = cur_rpm + _rate(des_rpm - cur_rpm, mixing, p.max_thrust_rate) * dt
         else:

@@ -37,6 +37,7 @@ from ..ops.motor_model import motor_step
 from ..utils import rng as rnglib
 from ..utils.math import (
     interpolate_ratio,
+    safe_norm,
     quat_from_euler_xyz_tensor,
     quat_integrate,
     quat_rotate,
@@ -92,7 +93,7 @@ def compute_robot_wrench(params: SimParams, state: SimState, action: jax.Array,
     v_b = obs.body_linvel
     w_b = obs.body_angvel
     drag_f = (-rp.drag_lin_linear * v_b
-              - rp.drag_lin_quadratic * jnp.linalg.norm(v_b, axis=-1, keepdims=True) * v_b)
+              - rp.drag_lin_quadratic * safe_norm(v_b, axis=-1, keepdims=True) * v_b)
     drag_t = (-rp.drag_ang_linear * w_b
               - rp.drag_ang_quadratic * jnp.abs(w_b) * w_b)
     force_b = force_b + drag_f
@@ -142,7 +143,7 @@ def integrate_rigid_body(params: SimParams, state: SimState,
         accel = accel + params.gravity
     linvel = state.linvel + dt * accel
     linvel = linvel * jnp.maximum(0.0, 1.0 - rp.linear_damping * dt)
-    speed = jnp.linalg.norm(linvel, axis=-1, keepdims=True)
+    speed = safe_norm(linvel, axis=-1, keepdims=True)
     linvel = jnp.where(speed > rp.max_linear_velocity,
                        linvel * (rp.max_linear_velocity / jnp.maximum(speed, 1e-9)),
                        linvel)
@@ -153,7 +154,7 @@ def integrate_rigid_body(params: SimParams, state: SimState,
     w_dot = jnp.einsum("ij,nj->ni", rp.inv_inertia, torque_b - jnp.cross(w_b, Iw))
     w_b = w_b + dt * w_dot
     w_b = w_b * jnp.maximum(0.0, 1.0 - rp.angular_damping * dt)
-    w_mag = jnp.linalg.norm(w_b, axis=-1, keepdims=True)
+    w_mag = safe_norm(w_b, axis=-1, keepdims=True)
     w_b = jnp.where(w_mag > rp.max_angular_velocity,
                     w_b * (rp.max_angular_velocity / jnp.maximum(w_mag, 1e-9)),
                     w_b)

@@ -24,9 +24,32 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
+def safe_sqrt(x: jax.Array) -> jax.Array:
+    """sqrt(max(x, 0)) with a finite gradient at/below zero.
+
+    jnp.sqrt's reverse-mode derivative is inf at 0, and a NaN leaks through
+    even the UNSELECTED branch of a jnp.where (inf * 0 cotangent) — which
+    made whole-rollout gradients (differentiable sys-id/control through
+    env_step) NaN. Forward-identical to sqrt(max(x, 0)); gradient is 0 for
+    x <= 0 (the true subgradient of the clamped forward).
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
+def safe_norm(x: jax.Array, axis=-1, keepdims: bool = False) -> jax.Array:
+    """L2 norm with a finite (zero) gradient at x = 0.
+
+    jnp.linalg.norm's derivative x/||x|| is NaN at the origin; zero vectors
+    are routine here (hover angular velocity, zero body velocity at reset).
+    Forward-identical to jnp.linalg.norm.
+    """
+    return safe_sqrt(jnp.sum(x * x, axis=axis, keepdims=keepdims))
+
+
 def normalize(x: jax.Array, eps: float = 1e-9) -> jax.Array:
     """Unit-normalize along the last axis (safe for zero vectors)."""
-    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    n = safe_norm(x, axis=-1, keepdims=True)
     return x / jnp.maximum(n, eps)
 
 
@@ -202,10 +225,13 @@ def rotation_matrix_to_quat(m: jax.Array) -> jax.Array:
     qy2 = jnp.maximum(0.0, 1.0 - m00 + m11 - m22)
     qz2 = jnp.maximum(0.0, 1.0 - m00 - m11 + m22)
 
-    qw = 0.5 * jnp.sqrt(qw2)
-    qx = 0.5 * jnp.sqrt(qx2)
-    qy = 0.5 * jnp.sqrt(qy2)
-    qz = 0.5 * jnp.sqrt(qz2)
+    # safe_sqrt: near identity/axis-aligned attitudes three of these are
+    # exactly 0 and plain sqrt would leak NaN into reverse-mode gradients
+    # through the unselected where-branches below
+    qw = 0.5 * safe_sqrt(qw2)
+    qx = 0.5 * safe_sqrt(qx2)
+    qy = 0.5 * safe_sqrt(qy2)
+    qz = 0.5 * safe_sqrt(qz2)
 
     # candidate 0: w dominant
     c0 = jnp.stack(
@@ -289,7 +315,10 @@ def get_euler_xyz(q: jax.Array):
     pitch = jnp.where(
         jnp.abs(sinp) >= 1.0,
         jnp.sign(sinp) * (jnp.pi / 2.0),
-        jnp.arcsin(jnp.clip(sinp, -1.0, 1.0)),
+        # inner where keeps the unselected arcsin branch away from |x|=1,
+        # where its derivative is inf (NaN leak into rollout gradients)
+        jnp.arcsin(jnp.where(jnp.abs(sinp) >= 1.0, 0.0,
+                             jnp.clip(sinp, -1.0, 1.0))),
     )
 
     siny_cosp = 2.0 * (qw * qz + qx * qy)
@@ -325,7 +354,7 @@ def quat_integrate(q: jax.Array, omega_world: jax.Array, dt) -> jax.Array:
     Exponential-map update: q' = exp(0.5 * dt * omega) * q, renormalized.
     Accurate for large omega*dt (unlike the first-order q + 0.5*dt*w*q).
     """
-    angle = jnp.linalg.norm(omega_world, axis=-1, keepdims=True)
+    angle = safe_norm(omega_world, axis=-1, keepdims=True)
     half = 0.5 * dt * angle
     # sinc-based form avoids the 0/0 at angle == 0
     k = 0.5 * dt * jnp.sinc(half / jnp.pi)  # = sin(half)/angle
