@@ -140,12 +140,17 @@ def make_train_step(step_fn, cfg: PPOConfig):
 
     N, T = cfg.num_envs, cfg.horizon
     batch = N * T
-    n_minibatches = max(batch // cfg.minibatch_size, 1)
-    if batch % cfg.minibatch_size:
-        dropped = batch - n_minibatches * cfg.minibatch_size
+    # clamp like the RNN path: a minibatch can never exceed the rollout
+    mb_size = min(cfg.minibatch_size, batch)
+    n_minibatches = batch // mb_size
+    if mb_size != cfg.minibatch_size:
+        logger.info(f"minibatch_size {cfg.minibatch_size} > rollout batch "
+                    f"{batch}: clamped to one {batch}-sample minibatch")
+    if batch % mb_size:
+        dropped = batch - n_minibatches * mb_size
         logger.warning(
             f"batch {batch} (= {N} envs x {T} horizon) is not a multiple of "
-            f"minibatch_size {cfg.minibatch_size}: {dropped} samples "
+            f"minibatch_size {mb_size}: {dropped} samples "
             f"({100.0 * dropped / batch:.1f}%) are dropped from every epoch "
             f"(a random subset per shuffle)")
 
@@ -240,8 +245,7 @@ def make_train_step(step_fn, cfg: PPOConfig):
 
             def minibatch(ts, mb_idx):
                 mb = jax.lax.dynamic_slice_in_dim(
-                    shuffled, mb_idx * cfg.minibatch_size,
-                    cfg.minibatch_size, axis=0)
+                    shuffled, mb_idx * mb_size, mb_size, axis=0)
                 obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb = unpack(mb)
                 if cfg.normalize_advantage:
                     adv_mb = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)

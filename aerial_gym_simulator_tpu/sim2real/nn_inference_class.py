@@ -28,8 +28,10 @@ class Sim2RealInferenceClass:
             npz = checkpoint_path + ".npz"
             export_policy_npz(checkpoint_path, npz)
             checkpoint_path = npz
-        # recurrent archives get the GRU runner, MLP ones the plain runner
-        self.policy = load_policy_npz(checkpoint_path, num_envs=num_envs)
+        # recurrent archives get the GRU runner, MLP ones the plain runner;
+        # num_actions disambiguates mu-only heads with even action counts
+        self.policy = load_policy_npz(checkpoint_path, num_envs=num_envs,
+                                      action_dim=num_actions)
         if self.policy.action_dim != num_actions:
             logger.warning(
                 f"checkpoint action dim {self.policy.action_dim} != requested "

@@ -105,16 +105,23 @@ def export_policy_npz(checkpoint_path: str, npz_path: str):
     return npz_path
 
 
-def load_policy_npz(npz_path: str, num_envs: int = 1):
+def load_policy_npz(npz_path: str, num_envs: int = 1,
+                    action_dim: Optional[int] = None):
     """Open an exported/imported .npz policy with the right runner class:
     :class:`NumpyRecurrentPolicy` if the archive is recurrent,
-    :class:`NumpyPolicy` otherwise. Both are callable obs -> action."""
+    :class:`NumpyPolicy` otherwise. Both are callable obs -> action.
+
+    action_dim disambiguates imported sample-factory checkpoints whose
+    head emits mu only (adaptive_stddev=False) — an even head width is
+    otherwise assumed to be the [mu, log_std] convention.
+    """
     with np.load(npz_path, allow_pickle=True) as z:
         recurrent = "recurrent" in z.files and bool(z["recurrent"])
         gru_style = "n_enc" in z.files
     if recurrent or gru_style:
         from .torch_import import NumpyRecurrentPolicy
-        return NumpyRecurrentPolicy(npz_path, num_envs=num_envs)
+        return NumpyRecurrentPolicy(npz_path, num_envs=num_envs,
+                                    action_dim=action_dim)
     return NumpyPolicy(npz_path)
 
 

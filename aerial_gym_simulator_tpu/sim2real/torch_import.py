@@ -171,8 +171,8 @@ class NumpyRecurrentPolicy:
 
     def __init__(self, npz_path: str, num_envs: int = 1,
                  action_dim: Optional[int] = None):
-        z = np.load(npz_path, allow_pickle=True)
-        self.z = {k: z[k] for k in z.files}
+        with np.load(npz_path, allow_pickle=True) as z:
+            self.z = {k: z[k] for k in z.files}
         self.num_envs = num_envs
         # imported sample-factory archives predate these keys: their
         # normalizer epsilon is 1e-5 (sample-factory's) and encoder is ELU;
@@ -226,6 +226,14 @@ class NumpyRecurrentPolicy:
         squeeze = x.ndim == 1
         if squeeze:
             x = x[None]
+        if self.recurrent and x.shape[0] != self.num_envs:
+            # numpy broadcasting would silently smear one observation's GRU
+            # update over every env's hidden row — refuse instead
+            raise ValueError(
+                f"obs batch {x.shape[0]} != num_envs {self.num_envs}: a "
+                f"recurrent policy carries one hidden state per env "
+                f"(construct with num_envs={x.shape[0]}, or batch all envs' "
+                f"observations per call)")
         if bool(z["normalize_obs"]):
             x = (x - z["norm_mean"]) / np.sqrt(z["norm_var"] + self.norm_eps)
             x = np.clip(x, -5.0, 5.0)

@@ -46,9 +46,12 @@ if __name__ == "__main__":
 
     obs, *_ = task.reset()
     successes = crashes = timeouts = 0
+    dones = None  # recurrent policies zero per-env hidden at episode starts
     for i in range(args.steps):
-        action = trainer.act(obs["observations"], deterministic=True)
+        action = trainer.act(obs["observations"], deterministic=True,
+                             done_prev=dones)
         obs, reward, term, trunc, infos = task.step(action)
+        dones = jnp.maximum(term, trunc)
         successes += int(np.asarray(infos["successes"]).sum())
         crashes += int(np.asarray(infos["crashes"]).sum())
         timeouts += int(np.asarray(infos["timeouts"]).sum())

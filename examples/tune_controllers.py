@@ -45,18 +45,27 @@ def step_response_metrics(t, y, target, tol=0.05):
                 settling_time=settling, steady_state_error=sse)
 
 
+def rest_state(env):
+    """The step-response initial condition: at rest at the origin."""
+    st = env.state
+    n = st.pos.shape[0]
+    return st.replace(
+        pos=jnp.zeros_like(st.pos),
+        quat=jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (n, 1)),
+        linvel=jnp.zeros_like(st.linvel), angvel=jnp.zeros_like(st.angvel),
+        motor_thrust=jnp.zeros_like(st.motor_thrust))
+
+
+def sim_dt(params):
+    """Env-step duration (physics dt x control-rate decimation)."""
+    return float(params.dt) * params.env.substep_mean
+
+
 def run_axis(controller, axis, target, steps, num_envs, robot):
     env = SimBuilder().build_env("base_sim", "empty_env", robot, controller,
                                  num_envs=num_envs, seed=0)
     env.reset()
-    # start from rest at origin
-    st = env.state
-    st = st.replace(
-        pos=jnp.zeros_like(st.pos),
-        quat=jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (num_envs, 1)),
-        linvel=jnp.zeros_like(st.linvel), angvel=jnp.zeros_like(st.angvel),
-        motor_thrust=jnp.zeros_like(st.motor_thrust))
-    env.state = st
+    env.state = rest_state(env)
 
     n_act = env.params.controller.num_actions
     action = np.zeros((num_envs, n_act), np.float32)
@@ -66,7 +75,7 @@ def run_axis(controller, axis, target, steps, num_envs, robot):
     action = jnp.asarray(action)
 
     trace = []
-    dt = float(env.params.dt) * env.params.env.substep_mean
+    dt = sim_dt(env.params)
     for _ in range(steps):
         env.step(action)
         s = env.state
@@ -103,11 +112,7 @@ def grad_tune(robot: str, steps: int = 120, iters: int = 150,
                                  "lee_position_control",
                                  num_envs=num_envs, seed=0)
     env.reset()
-    st0 = env.state.replace(
-        pos=jnp.zeros((num_envs, 3)),
-        quat=jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (num_envs, 1)),
-        linvel=jnp.zeros((num_envs, 3)), angvel=jnp.zeros((num_envs, 3)),
-        motor_thrust=jnp.zeros_like(env.state.motor_thrust))
+    st0 = rest_state(env)
     params = env.params
     target = jnp.array([1.0, 0.0, 1.0])
     action = jnp.tile(jnp.array([[1.0, 0, 1.0, 0]], jnp.float32),
@@ -150,8 +155,7 @@ def grad_tune(robot: str, steps: int = 120, iters: int = 150,
             print(f"  grad-tune iter {it:4d} cost {float(c):.4f}")
     g = jax.tree_util.tree_map(jnp.exp, log_g)
 
-    dt = float(params.dt) * params.env.substep_mean
-    t = np.arange(steps) * dt
+    t = np.arange(steps) * sim_dt(params)
     for name, kp, kv in [("catalog", kp0, kv0), ("tuned", g["kp"], g["kv"])]:
         z = np.asarray(response(kp, kv)[:, :, 2].mean(axis=1))
         m = step_response_metrics(t, z, 1.0)

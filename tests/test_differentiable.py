@@ -7,13 +7,24 @@ Guards the safe_sqrt/safe_norm gradient plumbing (utils/math.py): plain
 sqrt/norm backward is inf/NaN at 0, which silently poisons rollout grads.
 """
 
+import importlib.util
+import pathlib
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from aerial_gym_simulator_tpu.sim.dynamics import env_step
 from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+
+# the test exercises the EXAMPLE's rollout builder so the documented
+# recipe and the regression test cannot silently diverge
+_spec = importlib.util.spec_from_file_location(
+    "diff_sysid_example",
+    pathlib.Path(__file__).resolve().parent.parent
+    / "examples" / "differentiable_sysid_example.py")
+sysid = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(sysid)
 
 
 @pytest.fixture(scope="module")
@@ -36,20 +47,10 @@ def _actions(steps):
 
 
 def _rollout_loss(env, actions):
-    params, state0 = env.params, env.state
+    rollout = sysid.make_rollout(env.params, env.state, actions)
 
     def loss(theta):
-        p = params.replace(robot=params.robot.replace(
-            drag_lin_linear=theta["drag"]))
-        st = state0.replace(
-            motor_tau_inc=jnp.full_like(state0.motor_tau_inc, theta["tau"]),
-            motor_tau_dec=jnp.full_like(state0.motor_tau_dec, theta["tau"]))
-
-        def body(st, a):
-            st = env_step(p, st, a)
-            return st, jnp.concatenate([st.pos, st.linvel], -1)
-
-        _, traj = jax.lax.scan(body, st, actions)
+        traj = rollout(theta)
         return jnp.sum(traj * jnp.sin(jnp.arange(traj.size).reshape(
             traj.shape) * 0.1))  # non-degenerate functional of the rollout
 
@@ -87,22 +88,8 @@ def test_gradient_sysid_recovers_parameters(env):
     (the examples/differentiable_sysid_example.py recipe, shrunk)."""
     import optax
 
-    params, state0 = env.params, env.state
     actions = _actions(40)
-
-    def rollout(theta):
-        p = params.replace(robot=params.robot.replace(
-            drag_lin_linear=theta["drag"]))
-        st = state0.replace(
-            motor_tau_inc=jnp.full_like(state0.motor_tau_inc, theta["tau"]),
-            motor_tau_dec=jnp.full_like(state0.motor_tau_dec, theta["tau"]))
-
-        def body(st, a):
-            st = env_step(p, st, a)
-            return st, jnp.concatenate([st.pos, st.linvel], -1)
-
-        _, traj = jax.lax.scan(body, st, actions)
-        return traj
+    rollout = sysid.make_rollout(env.params, env.state, actions)
 
     true_theta = {"tau": jnp.asarray(0.08),
                   "drag": jnp.asarray([0.15, 0.12, 0.25])}
