@@ -130,3 +130,28 @@ def test_reset_positions_within_bounds(empty_env):
     lo = np.asarray(env.state.bounds_lo)
     hi = np.asarray(env.state.bounds_hi)
     assert np.all(pos >= lo - 1e-5) and np.all(pos <= hi + 1e-5)
+
+
+def test_randomized_substeps_traced_path():
+    """substep_std > 0 takes the traced-n fori_loop branch of env_step
+    (reference env_manager.py:417-425 randomized control-rate decimation):
+    host-sampled counts vary, the jitted step runs with a traced scalar,
+    and the sim advances with finite state."""
+    env = SimBuilder().build_env("base_sim", "empty_env", "base_quadrotor",
+                                 "lee_attitude_control", num_envs=4, seed=0)
+    env.reset()
+    env.params = env.params.replace(
+        env=env.params.env.replace(substep_mean=5, substep_std=2.0))
+    env._params_key = id(env.params)  # static jit key follows the params
+
+    counts = {env._sample_substeps() for _ in range(50)}
+    assert len(counts) > 1, "substep counts should vary"
+    assert all(c >= 0 for c in counts)
+
+    p0 = np.asarray(env.state.pos).copy()
+    actions = jnp.zeros((4, 4), jnp.float32)
+    for _ in range(5):
+        env.step(actions)
+    p1 = np.asarray(env.state.pos)
+    assert np.isfinite(p1).all()
+    assert not np.array_equal(p0, p1), "randomized substeps must advance sim"
