@@ -47,6 +47,14 @@ class PPOConfig:
     value_coef: float = 2.0
     entropy_coef: float = 0.0
     lr: float = 3e-4
+    # learning-rate schedule (reference ppo_aerial_quad.yaml:46-47 trains
+    # with rl-games' adaptive KL scheduler): "adaptive" raises/lowers the
+    # lr by 1.5x per minibatch when the approximate policy KL leaves the
+    # [kl_threshold/2, 2*kl_threshold] band; "fixed" keeps cfg.lr.
+    lr_schedule: str = "adaptive"
+    kl_threshold: float = 0.016
+    min_lr: float = 1e-6
+    max_lr: float = 1e-2
     max_grad_norm: float = 1.0
     total_env_steps: int = 50_000_000
     hidden: Tuple[int, ...] = (256, 128, 64)
@@ -117,8 +125,8 @@ def _gae(gamma: float, lam: float, values, rewards, dones, last_value):
 
 
 def _rollout_metrics(cfg: PPOConfig, rewards_t, dones_t, terms_t, values_t,
-                     aux):
-    pg_loss, v_loss, ent = jax.tree_util.tree_map(jnp.mean, aux)
+                     aux, ts):
+    pg_loss, v_loss, ent, kl = jax.tree_util.tree_map(jnp.mean, aux)
     return {
         "reward_mean": rewards_t.mean() / cfg.reward_scale,
         "done_rate": dones_t.mean(),
@@ -126,8 +134,32 @@ def _rollout_metrics(cfg: PPOConfig, rewards_t, dones_t, terms_t, values_t,
         "pg_loss": pg_loss,
         "v_loss": v_loss,
         "entropy": ent,
+        "approx_kl": kl,
+        "lr": _current_lr(cfg, ts),
         "value_mean": values_t.mean(),
     }
+
+
+def _current_lr(cfg: PPOConfig, ts):
+    if cfg.lr_schedule == "adaptive":
+        return ts.opt_state.hyperparams["learning_rate"]
+    return jnp.asarray(cfg.lr)
+
+
+def _adapt_lr(cfg: PPOConfig, ts, kl):
+    """rl-games AdaptiveScheduler semantics (per-minibatch): shrink the lr
+    1.5x when the policy moved too far (kl > 2*threshold), grow it 1.5x
+    when it barely moved (kl < threshold/2), clamped to [min_lr, max_lr]."""
+    if cfg.lr_schedule != "adaptive":
+        return ts
+    lr = ts.opt_state.hyperparams["learning_rate"]
+    lr = jnp.where(kl > 2.0 * cfg.kl_threshold,
+                   jnp.maximum(lr / 1.5, cfg.min_lr),
+                   jnp.where(kl < 0.5 * cfg.kl_threshold,
+                             jnp.minimum(lr * 1.5, cfg.max_lr), lr))
+    new_opt_state = ts.opt_state._replace(
+        hyperparams={**ts.opt_state.hyperparams, "learning_rate": lr})
+    return ts.replace(opt_state=new_opt_state)
 
 
 def make_train_step(step_fn, cfg: PPOConfig):
@@ -178,7 +210,8 @@ def make_train_step(step_fn, cfg: PPOConfig):
         obs, action, old_logp, old_value, adv, ret = mb
         mean, log_std, value = apply_net(net_params, ts, obs)
         logp = gaussian_logp(mean, log_std, action)
-        ratio = jnp.exp(logp - old_logp)
+        d = logp - old_logp
+        ratio = jnp.exp(d)
         pg1 = -adv * ratio
         pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
         pg_loss = jnp.mean(jnp.maximum(pg1, pg2))
@@ -187,8 +220,11 @@ def make_train_step(step_fn, cfg: PPOConfig):
         v_loss = 0.5 * jnp.mean(jnp.maximum((value - ret) ** 2,
                                             (v_clipped - ret) ** 2))
         ent = jnp.mean(gaussian_entropy(log_std))
+        # non-negative approximate KL(old || new) (the k3 estimator) for
+        # the adaptive lr scheduler; stop_gradient: diagnostics only
+        kl = jax.lax.stop_gradient(jnp.mean(ratio - 1.0 - d))
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
-        return total, (pg_loss, v_loss, ent)
+        return total, (pg_loss, v_loss, ent, kl)
 
     def train_step(ts: TrainState, env_carry, obs, key, norm):
         # ---- rollout (scan over fused env step) --------------------------
@@ -251,14 +287,15 @@ def make_train_step(step_fn, cfg: PPOConfig):
                     adv_mb = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
                 mb = (obs_mb, act_mb, logp_mb, val_mb, adv_mb, ret_mb)
                 grads, aux = jax.grad(loss_fn, has_aux=True)(ts.params, ts, mb)
-                return ts.apply_gradients(grads=grads), aux
+                ts = ts.apply_gradients(grads=grads)
+                return _adapt_lr(cfg, ts, aux[3]), aux
 
             ts, aux = jax.lax.scan(minibatch, ts, jnp.arange(n_minibatches))
             return (ts, key), aux
 
         (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
         metrics = _rollout_metrics(cfg, rewards_t, dones_t, terms_t,
-                                   values_t, aux)
+                                   values_t, aux, ts)
         return ts, env_carry, obs, key, norm, metrics
 
     return train_step
@@ -332,7 +369,8 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
         log_std = net_params["params"]["log_std"]
 
         logp = gaussian_logp(means, log_std, tm(action))
-        ratio = jnp.exp(logp - tm(old_logp))
+        d = logp - tm(old_logp)
+        ratio = jnp.exp(d)
         adv_t = tm(adv)
         pg1 = -adv_t * ratio
         pg2 = -adv_t * jnp.clip(ratio, 1.0 - cfg.clip_eps, 1.0 + cfg.clip_eps)
@@ -343,8 +381,9 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
         v_loss = 0.5 * jnp.mean(jnp.maximum((values - ret_t) ** 2,
                                             (v_clipped - ret_t) ** 2))
         ent = jnp.mean(gaussian_entropy(log_std))
+        kl = jax.lax.stop_gradient(jnp.mean(ratio - 1.0 - d))
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
-        return total, (pg_loss, v_loss, ent)
+        return total, (pg_loss, v_loss, ent, kl)
 
     def train_step(ts: TrainState, env_carry_ext, obs, key, norm):
         _, h0, _ = env_carry_ext
@@ -400,14 +439,15 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
                     mb = mb[:4] + (adv,) + mb[5:]
                 grads, aux = jax.grad(loss_fn, has_aux=True)(
                     ts.params, ts, mb, h0_mb)
-                return ts.apply_gradients(grads=grads), aux
+                ts = ts.apply_gradients(grads=grads)
+                return _adapt_lr(cfg, ts, aux[3]), aux
 
             ts, aux = jax.lax.scan(minibatch, ts, jnp.arange(n_minibatches))
             return (ts, key), aux
 
         (ts, key), aux = jax.lax.scan(epoch, (ts, key), None, length=cfg.epochs)
         metrics = _rollout_metrics(cfg, rewards_t, dones_t, terms_t,
-                                   values_t, aux)
+                                   values_t, aux, ts)
         return ts, (env_carry, h_last, done_last), obs, key, norm, metrics
 
     return train_step
@@ -437,10 +477,26 @@ class PPOTrainer:
             net_params = self.network.init(init_key, jnp.zeros((1, obs_dim)))
         else:
             raise ValueError(f"unknown rnn type {cfg.rnn!r} (None or 'gru')")
-        tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.lr, eps=1e-5),
-        )
+        if cfg.lr_schedule == "adaptive":
+            # lr lives in the optimizer STATE (inject_hyperparams) so the
+            # jitted train step can move it per minibatch from the policy
+            # KL — the reference trains with rl-games' adaptive scheduler
+            # (ppo_aerial_quad.yaml:46-47)
+            @optax.inject_hyperparams
+            def _make_tx(learning_rate):
+                return optax.chain(
+                    optax.clip_by_global_norm(cfg.max_grad_norm),
+                    optax.adam(learning_rate, eps=1e-5))
+
+            tx = _make_tx(learning_rate=cfg.lr)
+        elif cfg.lr_schedule == "fixed":
+            tx = optax.chain(
+                optax.clip_by_global_norm(cfg.max_grad_norm),
+                optax.adam(cfg.lr, eps=1e-5),
+            )
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r} "
+                             f"('adaptive' or 'fixed')")
         self.train_state = TrainState.create(apply_fn=self.network.apply,
                                              params=net_params, tx=tx)
         self.norm = RunningMeanStd.init(obs_dim)

@@ -50,6 +50,11 @@ def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
         value_coef=float(c.get("critic_coef", 2.0)),
         entropy_coef=float(c.get("entropy_coef", 0.0)),
         lr=float(c.get("learning_rate", 3e-4)),
+        # rl-games schedule names: "adaptive" (KL-driven, the shipped
+        # configs' choice) or anything else -> fixed
+        lr_schedule=("adaptive" if c.get("lr_schedule", "adaptive")
+                     == "adaptive" else "fixed"),
+        kl_threshold=float(c.get("kl_threshold", 0.016)),
         max_grad_norm=float(c.get("grad_norm", 1.0)),
         total_env_steps=int(c.get("max_epochs", 400)) * envs * horizon,
         hidden=tuple(mlp.get("units", [256, 128, 64])),
