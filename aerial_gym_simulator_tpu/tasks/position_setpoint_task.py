@@ -22,7 +22,7 @@ from ..sim import dynamics
 from ..sim.sim_builder import SimBuilder
 from ..sim.structs import SimParams, SimState
 from ..control.controllers import compute_robot_obs
-from ..utils.math import exp_func, quat_apply_inverse, quat_axis
+from ..utils.math import exp_func, quat_apply_inverse, quat_axis, safe_norm
 from ..utils.logging import CustomLogger
 
 logger = CustomLogger("position_setpoint_task")
@@ -52,13 +52,13 @@ class PositionSetpointTaskConfig:
 def compute_reward(pos_error, robot_quats, robot_angvels, crashes,
                    crash_dist: float):
     """Reference position_setpoint_task.py:244-282 reward shaping."""
-    dist = jnp.linalg.norm(pos_error, axis=-1)
+    dist = safe_norm(pos_error, axis=-1)
     pos_reward = exp_func(dist, 3.0, 8.0) + exp_func(dist, 2.0, 4.0)
     dist_reward = (20.0 - dist) / 40.0
     ups = quat_axis(robot_quats, 2)
     tiltage = jnp.abs(1.0 - ups[..., 2])
     up_reward = 0.2 / (0.1 + tiltage * tiltage)
-    spinnage = jnp.linalg.norm(robot_angvels, axis=-1)
+    spinnage = safe_norm(robot_angvels, axis=-1)
     ang_vel_reward = 3.0 / (1.0 + spinnage * spinnage)
     total = pos_reward + dist_reward + pos_reward * (up_reward + ang_vel_reward)
     crashes = jnp.where(dist > crash_dist, jnp.ones_like(crashes), crashes)
