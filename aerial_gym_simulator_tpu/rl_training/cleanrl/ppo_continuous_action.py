@@ -70,6 +70,9 @@ def main():
         value_coef=args.vf_coef,
         entropy_coef=args.ent_coef,
         lr=args.learning_rate,
+        # CleanRL semantics: constant lr (the reference script's anneal_lr
+        # is a linear decay, not rl-games' adaptive KL scheduler)
+        lr_schedule="fixed",
         max_grad_norm=args.max_grad_norm,
         total_env_steps=args.total_steps,
         reward_scale=args.reward_scale,
