@@ -78,3 +78,19 @@ def shard_trainer(trainer, n_devices: Optional[int] = None):
     logger.info(f"trainer sharded over {len(m.devices.flatten())} devices "
                 f"(env axis)")
     return m
+
+
+def shard_bptt_trainer(trainer, n_devices: Optional[int] = None):
+    """Same one-call scale-out for the first-order trainer (rl/bptt.py):
+    env carry + obs sharded over the env axis, policy params + optimizer
+    state replicated. XLA inserts the gradient all-reduce across the mesh
+    exactly as for PPO — backprop-through-simulator scales unchanged."""
+    m = meshlib.make_mesh(n_devices)
+    n_envs = trainer.cfg.num_envs
+    trainer.carry = meshlib.shard_env_pytree(trainer.carry, m, n_envs)
+    trainer.obs = meshlib.shard_env_pytree(trainer.obs, m, n_envs)
+    trainer.params = meshlib.replicate_pytree(trainer.params, m)
+    trainer.opt_state = meshlib.replicate_pytree(trainer.opt_state, m)
+    logger.info(f"bptt trainer sharded over {len(m.devices.flatten())} "
+                f"devices (env axis)")
+    return m

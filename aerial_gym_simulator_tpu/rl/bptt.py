@@ -168,7 +168,15 @@ def main():
     p.add_argument("--iters", type=int, default=1500)
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the env axis over all visible devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed.initialize before the mesh")
     args = p.parse_args()
+
+    if args.multihost:
+        from ..parallel.distributed import initialize_multihost
+        initialize_multihost(require=True)
 
     import aerial_gym_simulator_tpu as ag
     from .ppo import enable_compilation_cache
@@ -179,6 +187,9 @@ def main():
     cfg = BPTTConfig(num_envs=args.num_envs, horizon=args.horizon,
                      iters=args.iters, lr=args.lr, seed=args.seed)
     trainer = BPTTTrainer(task, cfg)
+    if args.multichip or args.multihost:
+        from ..parallel.distributed import shard_bptt_trainer
+        shard_bptt_trainer(trainer)
     hist = trainer.train()
     print(f"final task reward {hist[-1]['task_reward']:.3f} "
           f"(ema {hist[-1]['task_reward_ema']:.3f}) after "

@@ -96,3 +96,20 @@ def test_sharded_navigation_ppo_step_runs(devices_ok):
     assert np.isfinite(hist[-1]["reward_mean"])
     # env-dim leaves of the nav carry live sharded across all 8 devices
     assert len(trainer.env_carry.sim.pos.sharding.device_set) == 8
+
+
+def test_sharded_bptt_update_runs(devices_ok):
+    """First-order (BPTT) training with env-sharded carry on the 8-device
+    mesh: backprop-through-simulator gradients all-reduce across the mesh
+    like PPO's."""
+    from aerial_gym_simulator_tpu.parallel.distributed import shard_bptt_trainer
+    from aerial_gym_simulator_tpu.rl.bptt import BPTTConfig, BPTTTrainer
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=32,
+                                      seed=4)
+    cfg = BPTTConfig(num_envs=32, horizon=4, iters=3, seed=4)
+    trainer = BPTTTrainer(task, cfg)
+    shard_bptt_trainer(trainer, 8)
+    hist = trainer.train(log_every=1)
+    assert np.isfinite(hist[-1]["task_reward"])
+    assert len(trainer.carry.pos.sharding.device_set) == 8
