@@ -146,3 +146,47 @@ def test_ppo_learns_synthetic_bandit():
     # deterministic action approaches the bandit target
     a = np.asarray(tr.act(jnp.zeros((1, obs_dim))))
     np.testing.assert_allclose(a[0], np.asarray(target), atol=0.15)
+
+
+def test_adaptive_lr_scheduler_moves_lr():
+    """rl-games AdaptiveScheduler parity (reference ppo_aerial_quad.yaml
+    lr_schedule: adaptive): lr shrinks 1.5x above 2x kl_threshold, grows
+    1.5x below threshold/2, stays inside the band, clamps at the limits."""
+    import jax.numpy as jnp
+
+    import aerial_gym_simulator_tpu as ag
+    from aerial_gym_simulator_tpu.rl.ppo import (PPOConfig, PPOTrainer,
+                                                 _adapt_lr, _current_lr)
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=4,
+                                      seed=0)
+    cfg = PPOConfig(num_envs=4, horizon=4, minibatch_size=16, seed=0)
+    tr = PPOTrainer(task, cfg)
+    ts = tr.train_state
+    close = lambda a, b: np.isclose(a, b, rtol=1e-6)
+    lr0 = float(_current_lr(cfg, ts))
+    assert close(lr0, cfg.lr)
+
+    high = _adapt_lr(cfg, ts, jnp.asarray(10.0 * cfg.kl_threshold))
+    assert close(float(_current_lr(cfg, high)), lr0 / 1.5)
+    low = _adapt_lr(cfg, ts, jnp.asarray(0.1 * cfg.kl_threshold))
+    assert close(float(_current_lr(cfg, low)), lr0 * 1.5)
+    mid = _adapt_lr(cfg, ts, jnp.asarray(cfg.kl_threshold))
+    assert close(float(_current_lr(cfg, mid)), lr0)
+
+    # clamps
+    t = ts
+    for _ in range(40):
+        t = _adapt_lr(cfg, t, jnp.asarray(1.0))
+    assert close(float(_current_lr(cfg, t)), cfg.min_lr)
+    t = ts
+    for _ in range(40):
+        t = _adapt_lr(cfg, t, jnp.asarray(0.0))
+    assert close(float(_current_lr(cfg, t)), cfg.max_lr)
+
+    # fixed schedule is untouched by _adapt_lr
+    fixed_cfg = PPOConfig(num_envs=4, horizon=4, minibatch_size=16, seed=0,
+                          lr_schedule="fixed")
+    tr2 = PPOTrainer(task, fixed_cfg)
+    same = _adapt_lr(fixed_cfg, tr2.train_state, jnp.asarray(1.0))
+    assert same is tr2.train_state
