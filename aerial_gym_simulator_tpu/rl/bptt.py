@@ -72,8 +72,10 @@ class TanhPolicy(nn.Module):
 
 def default_cost(obs, action, cfg: BPTTConfig):
     """Quadratic tracking surrogate for the position-setpoint family:
-    obs[:, :3] is the vehicle-frame position error (tasks expose it first,
-    matching the reference's 13-d observation layout)."""
+    obs[:, :3] is the WORLD-frame position error target - pos (the tasks
+    expose it first, matching the reference's 13-d observation layout).
+    The squared norm is frame-invariant; a custom cost_fn that weights
+    axes differently must rotate into the frame it wants."""
     return (jnp.sum(obs[:, :3] ** 2, axis=1)
             + cfg.act_reg * jnp.sum(action ** 2, axis=1))
 
@@ -115,43 +117,55 @@ class BPTTTrainer:
                           optax.adam(cfg.lr))
         self.opt_state = opt.init(self.params)
 
-        def update(params, opt_state, carry, obs):
+        def update(params, opt_state, carry, obs, ema, best_ema,
+                   best_params, it):
             (loss, (carry, obs, rmean)), g = jax.value_and_grad(
                 window, has_aux=True)(params, carry, obs)
+            # rmean measured the window rolled with the INPUT params, so
+            # the best-EMA snapshot keeps THOSE params (not the post-update
+            # ones, which would be one destabilizing step past the peak);
+            # tracking on device keeps the loop free of host syncs
+            ema = jnp.where(it == 0, rmean,
+                            cfg.ema * ema + (1.0 - cfg.ema) * rmean)
+            better = ema > best_ema
+            best_ema = jnp.where(better, ema, best_ema)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(better, p, b), best_params, params)
             upd, opt_state = opt.update(g, opt_state)
             return (optax.apply_updates(params, upd), opt_state, carry, obs,
-                    loss, rmean)
+                    ema, best_ema, best_params, loss, rmean)
 
         self._update = jax.jit(update, donate_argnums=(2,))
 
     def train(self, iters: Optional[int] = None, log_every: int = 100):
         cfg = self.cfg
         iters = iters or cfg.iters
-        ema = None
-        best_ema, best_params = -np.inf, self.params
+        ema = jnp.asarray(0.0)
+        best_ema = jnp.asarray(-jnp.inf)
+        best_params = self.params
         t0 = time.perf_counter()
         history = []
         for it in range(iters):
-            (self.params, self.opt_state, self.carry, self.obs, loss,
-             rmean) = self._update(self.params, self.opt_state, self.carry,
-                                   self.obs)
-            r = float(rmean)
-            ema = r if ema is None else cfg.ema * ema + (1 - cfg.ema) * r
-            if ema > best_ema:
-                best_ema, best_params = ema, self.params
+            (self.params, self.opt_state, self.carry, self.obs, ema,
+             best_ema, best_params, loss, rmean) = self._update(
+                 self.params, self.opt_state, self.carry, self.obs, ema,
+                 best_ema, best_params, jnp.asarray(it))
             if it % log_every == 0 or it == iters - 1:
-                m = {"iter": it, "task_reward": r, "task_reward_ema": ema,
+                m = {"iter": it, "task_reward": float(rmean),
+                     "task_reward_ema": float(ema),
                      "surrogate": float(loss),
                      "env_steps": (it + 1) * cfg.num_envs * cfg.horizon,
                      "wall_s": time.perf_counter() - t0}
                 history.append(m)
                 logger.info(f"it {it:5d} surrogate {m['surrogate']:.4f} "
-                            f"task reward {r:7.3f} (ema {ema:6.3f}) "
+                            f"task reward {m['task_reward']:7.3f} "
+                            f"(ema {m['task_reward_ema']:6.3f}) "
                             f"steps {m['env_steps']:.2e}")
         # deterministic BPTT oscillates late; return the best-EMA snapshot
         self.params = best_params
-        logger.info(f"best task-reward EMA {best_ema:.3f}; best-EMA params "
-                    f"restored")
+        self.best_ema = float(best_ema)
+        logger.info(f"best task-reward EMA {self.best_ema:.3f}; best-EMA "
+                    f"params restored")
         return history
 
     def act(self, obs):

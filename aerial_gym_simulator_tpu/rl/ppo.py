@@ -78,6 +78,14 @@ class PPOConfig:
     matmul_precision: str = "bfloat16"
 
 
+_RESTORE_HINT = (
+    "orbax restore failed. If this checkpoint was written under a "
+    "different lr_schedule, the optimizer-state layout differs "
+    "('adaptive' wraps it in optax.inject_hyperparams; 'fixed' does not) "
+    "— construct the trainer with the SAME PPOConfig.lr_schedule the "
+    "checkpoint was trained with.")
+
+
 class RunningMeanStd:
     """Functional running obs normalizer state (as pytree dict)."""
 
@@ -566,8 +574,11 @@ class PPOTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(dir_path),
-                                 self._learner_bundle())
+        try:
+            restored = ckptr.restore(os.path.abspath(dir_path),
+                                     self._learner_bundle())
+        except Exception as e:
+            raise RuntimeError(_RESTORE_HINT) from e
         self.train_state = self.train_state.replace(
             params=restored["params"], opt_state=restored["opt_state"],
             step=restored["step"])
@@ -646,8 +657,11 @@ class PPOTrainer:
                 logger.warning(f"no elastic checkpoint under {dir_path}; "
                                f"starting fresh")
                 return 0
-            restored = mgr.restore(latest, args=ocp.args.StandardRestore(
-                self._pack_empty(bundle)))
+            try:
+                restored = mgr.restore(latest, args=ocp.args.StandardRestore(
+                    self._pack_empty(bundle)))
+            except Exception as e:
+                raise RuntimeError(_RESTORE_HINT) from e
         # zero-size leaves were saved as placeholders — keep ours instead
         restored = jax.tree_util.tree_map(
             lambda orig, r: orig if np.size(orig) == 0 else r,

@@ -27,6 +27,17 @@ def load_yaml_config(path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def _map_lr_schedule(value):
+    if value is None:
+        return "fixed"  # rl-games: no schedule key = constant lr
+    if value == "adaptive":
+        return "adaptive"
+    import warnings
+    warnings.warn(f"lr_schedule {value!r} is not implemented "
+                  f"(supported: adaptive); training with a constant lr")
+    return "fixed"
+
+
 def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
                          seed: Optional[int] = None):
     """Map an rl-games-layout YAML (params.config.*) onto PPOConfig."""
@@ -50,10 +61,10 @@ def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
         value_coef=float(c.get("critic_coef", 2.0)),
         entropy_coef=float(c.get("entropy_coef", 0.0)),
         lr=float(c.get("learning_rate", 3e-4)),
-        # rl-games schedule names: "adaptive" (KL-driven, the shipped
-        # configs' choice) or anything else -> fixed
-        lr_schedule=("adaptive" if c.get("lr_schedule", "adaptive")
-                     == "adaptive" else "fixed"),
+        # rl-games schedule semantics: absent/None -> constant lr,
+        # "adaptive" -> KL-driven (the shipped configs' choice); other
+        # values (e.g. "linear") are not implemented -> warn + constant
+        lr_schedule=_map_lr_schedule(c.get("lr_schedule")),
         kl_threshold=float(c.get("kl_threshold", 0.016)),
         max_grad_norm=float(c.get("grad_norm", 1.0)),
         total_env_steps=int(c.get("max_epochs", 400)) * envs * horizon,

@@ -89,6 +89,9 @@ def export_policy_npz(checkpoint_path: str, npz_path: str):
             [mu_W, np.zeros_like(mu_W)], axis=1)        # (H, 2A)
         flat["head_b"] = np.concatenate(
             [np.asarray(mean_head["bias"]), np.asarray(dense["log_std"])])
+        # self-describing archive: the runner never has to guess the mu
+        # width from the head shape
+        flat["action_dim"] = np.array(act_dim)
     else:
         net = ActorCritic(action_dim=act_dim, hidden=hidden,
                           activation=activation)

@@ -184,13 +184,21 @@ class NumpyRecurrentPolicy:
         self.hidden_dim = (self.z["gru_Whh"].shape[1] if self.recurrent
                            else 0)
         self.hidden = np.zeros((num_envs, self.hidden_dim), np.float32)
-        # With sample-factory's default adaptive stddev the distribution
-        # head emits [mu, log_std] (width = 2 x action_dim); with
-        # adaptive_stddev=False it emits mu only. An even width is assumed
-        # to be the former — pass action_dim explicitly for
-        # non-adaptive-stddev checkpoints with an even action count.
+        # mu width, by trust order: (1) a self-describing archive key
+        # (archives exported from our own GRU checkpoints carry it — and
+        # it wins over a conflicting caller value, which would silently
+        # feed log_std columns to the motors); (2) the caller's
+        # action_dim (needed for imported sample-factory checkpoints with
+        # adaptive_stddev=False and an even action count); (3) the
+        # adaptive-stddev heuristic: even head width = [mu, log_std].
         head_out = self.z["head_b"].shape[0]
-        if action_dim is not None:
+        if "action_dim" in self.z:
+            self.action_dim = int(self.z["action_dim"])
+            if action_dim is not None and action_dim != self.action_dim:
+                logger.warning(
+                    f"requested action_dim {action_dim} != archive's "
+                    f"{self.action_dim}; using the archive's")
+        elif action_dim is not None:
             self.action_dim = action_dim
         else:
             self.action_dim = head_out // 2 if head_out % 2 == 0 else head_out

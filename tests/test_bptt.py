@@ -20,7 +20,7 @@ def test_bptt_learns_position_task():
     hist = trainer.train(log_every=100)
 
     r0 = hist[0]["task_reward"]
-    best_ema = max(m["task_reward_ema"] for m in hist)
+    best_ema = trainer.best_ema
     assert np.isfinite([m["surrogate"] for m in hist]).all()
     assert best_ema > max(3.0, 2.0 * r0), (
         f"BPTT failed to learn: initial {r0:.3f}, best ema {best_ema:.3f}")
