@@ -10,13 +10,47 @@ vs_baseline is vs the driver target of 5M env-steps/s aggregate on one host.
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+BASELINE_STEPS_PER_S = 5_000_000.0
+
+
+def _tpu_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel sometimes wedges backend init forever (hangs in
+    jax.devices() with no error); probing in-process would hang this
+    benchmark with it. A subprocess probe lets us fall back to CPU and
+    still print a result line.
+    """
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+if os.environ.get("BENCH_FORCE_CPU") == "1" or not _tpu_reachable():
+    # decided BEFORE the first jax import in this process
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _FORCE_CPU = True
+else:
+    _FORCE_CPU = False
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_STEPS_PER_S = 5_000_000.0
+if _FORCE_CPU:
+    # the axon plugin ignores JAX_PLATFORMS; config wins if set pre-init
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def main():
