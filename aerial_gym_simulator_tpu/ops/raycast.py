@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..utils.math import quat_rotate_inverse
+from ..utils.math import quat_rotate_inverse, safe_sqrt
 
 NO_HIT_RAY_VAL = 1000.0
 NO_HIT_SEGMENTATION_VAL = -2
@@ -53,7 +53,10 @@ def ray_sphere(ro, rd, r):
     b = jnp.sum(ro * rd, axis=-1)
     c = jnp.sum(ro * ro, axis=-1) - r * r
     disc = b * b - c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # safe_sqrt: sqrt(maximum(x, 0)) has a NaN gradient for every MISSING
+    # ray (inf * 0 at the clamp) — which poisons the differentiable-render
+    # backward (ops/raycast_diff.py) for all culled/missed primitives
+    sq = safe_sqrt(disc)
     t0 = -b - sq
     t1 = -b + sq
     t = jnp.where(t0 > 0.0, t0, t1)
@@ -66,7 +69,7 @@ def ray_cylinder(ro, rd, r, h):
     b = ro[..., 0] * rd[..., 0] + ro[..., 1] * rd[..., 1]
     c = ro[..., 0] ** 2 + ro[..., 1] ** 2 - r * r
     disc = b * b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)  # see ray_sphere: NaN-free backward for misses
     inv_a = _safe_div(1.0, a)
     ts0 = (-b - sq) * inv_a
     ts1 = (-b + sq) * inv_a
