@@ -74,6 +74,42 @@ def _jit_obs(params_static, state):
     }
 
 
+class _RobotHandle:
+    """Reference-parity robot surface (env_manager.robot_manager.robot.*).
+
+    The reference drives reconfigurable robots outside the task API via
+    ``robot.set_dof_velocity_targets`` (examples/
+    shape_control_example_reconfigurable.py:41, base_reconfigurable.py);
+    here the targets live in SimState, so the setters replace the pytree
+    leaves functionally."""
+
+    def __init__(self, env_manager: "EnvManager"):
+        self._em = env_manager
+
+    def set_dof_position_targets(self, targets):
+        em = self._em
+        em.state = em.state.replace(
+            dof_pos_target=jnp.broadcast_to(
+                jnp.asarray(targets, jnp.float32),
+                em.state.dof_pos_target.shape))
+
+    def set_dof_velocity_targets(self, targets):
+        em = self._em
+        em.state = em.state.replace(
+            dof_vel_target=jnp.broadcast_to(
+                jnp.asarray(targets, jnp.float32),
+                em.state.dof_vel_target.shape))
+
+
+class _RobotManagerHandle:
+    """Matches the reference attribute chain env_manager.robot_manager.robot
+    (robot_manager.py:21); the TPU build has no manager object web, so this
+    is a thin view over EnvManager state."""
+
+    def __init__(self, env_manager: "EnvManager"):
+        self.robot = _RobotHandle(env_manager)
+
+
 class EnvManager:
     """Owns (params, state) and the compiled step/reset programs."""
 
@@ -99,6 +135,7 @@ class EnvManager:
         self._sensor_seg = None
         self._jit_render = None
         self._render_key = None
+        self.robot_manager = _RobotManagerHandle(self)
         self.reset()
 
     # -- core loop ---------------------------------------------------------

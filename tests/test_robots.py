@@ -205,3 +205,22 @@ def test_multi_sensor_robot_camera_lidar_imu():
     assert env.params.imu is not None
     env.step(jnp.zeros((2, env.params.controller.num_actions)))
     assert bool(jnp.all(jnp.isfinite(env.state.pos)))
+
+
+def test_robot_manager_dof_target_handle():
+    """EnvManager.robot_manager.robot.set_dof_velocity_targets drives the
+    joints through plain env.step (reference attribute chain used by
+    examples/shape_control_example_reconfigurable.py:41)."""
+    env = build("snakey", "no_control")
+    env.reset()
+    nj = env.state.dof_pos.shape[-1]
+    env.robot_manager.robot.set_dof_velocity_targets(
+        jnp.full((env.num_envs, nj), 0.3))
+    np.testing.assert_allclose(np.asarray(env.state.dof_vel_target), 0.3)
+    actions = jnp.zeros((env.num_envs, env.num_robot_actions), jnp.float32)
+    for _ in range(20):
+        env.step(actions)
+    assert float(env.state.dof_vel.mean()) > 0.1  # joints moving toward cmd
+    # position targets broadcast from a per-joint row too
+    env.robot_manager.robot.set_dof_position_targets(jnp.zeros((nj,)))
+    assert env.state.dof_pos_target.shape == (env.num_envs, nj)
