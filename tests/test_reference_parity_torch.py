@@ -456,3 +456,148 @@ def _robot_params_for_test(mass, inertia):
                 f.default_factory is dataclasses.MISSING:  # type: ignore
             kwargs[f.name] = jnp.zeros((3,))
     return RobotParams(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# task reward functions: load the reference task modules (heavy deps
+# stubbed) and compare the @torch.jit.script reward kernels with ours
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_task_modules(ref_controllers):
+    """Import the 3 reference task modules with isaacgym-touching imports
+    stubbed (BaseTask/SimBuilder/VAE are only used at class-instantiation
+    time, never by the module-level jit reward kernels under test)."""
+    import importlib
+
+    def stub_mod(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    def pkg(name, path):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            sys.modules[name] = m
+        m.__path__ = [path]
+        return m
+
+    pkg("aerial_gym.task", os.path.join(REF, "task"))
+    pkg("aerial_gym.task.position_setpoint_task",
+        os.path.join(REF, "task/position_setpoint_task"))
+    pkg("aerial_gym.task.navigation_task",
+        os.path.join(REF, "task/navigation_task"))
+    pkg("aerial_gym.task.lidar_navigation_task",
+        os.path.join(REF, "task/lidar_navigation_task"))
+    pkg("aerial_gym.sim", os.path.join(REF, "sim"))
+    pkg("aerial_gym.utils.vae", os.path.join(REF, "utils/vae"))
+    stub_mod("aerial_gym.task.base_task", BaseTask=object)
+    stub_mod("aerial_gym.sim.sim_builder", SimBuilder=object)
+    stub_mod("aerial_gym.utils.vae.vae_image_encoder", VAEImageEncoder=object)
+    stub_mod("gymnasium")
+    gym_spaces = stub_mod("gym.spaces", Dict=dict, Box=object)
+    gym_mod = stub_mod("gym")
+    gym_mod.spaces = gym_spaces
+
+    return {
+        "position": importlib.import_module(
+            "aerial_gym.task.position_setpoint_task.position_setpoint_task"),
+        "navigation": importlib.import_module(
+            "aerial_gym.task.navigation_task.navigation_task"),
+        "lidar": importlib.import_module(
+            "aerial_gym.task.lidar_navigation_task.lidar_navigation_task"),
+    }
+
+
+def test_position_task_reward_matches_reference(ref_task_modules):
+    from aerial_gym_simulator_tpu.tasks import position_setpoint_task as P
+
+    n = 512
+    rng = np.random.default_rng(21)
+    pos_err = rng.normal(0, 4, (n, 3)).astype(np.float32)  # some dist > 8
+    quats = _rand_quats(n, 22)
+    angvel = rng.normal(0, 2, (n, 3)).astype(np.float32)
+    crashes = (rng.random(n) < 0.1).astype(np.float32)
+    linvel = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    act = rng.normal(0, 1, (n, 4)).astype(np.float32)
+
+    ref_reward, ref_crashes = ref_task_modules["position"].compute_reward(
+        torch.from_numpy(pos_err), torch.from_numpy(linvel),
+        torch.from_numpy(quats), torch.from_numpy(angvel),
+        torch.from_numpy(crashes.copy()), 1.0,
+        torch.from_numpy(act), torch.from_numpy(act),
+        {})
+    our_reward, our_crashes = P.compute_reward(
+        jnp.asarray(pos_err), jnp.asarray(quats), jnp.asarray(angvel),
+        jnp.asarray(crashes), crash_dist=8.0)
+    np.testing.assert_allclose(np.asarray(our_reward),
+                               ref_reward.numpy(), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(our_crashes), ref_crashes.numpy())
+
+
+def _np_dict_to_torch(d):
+    return {k: torch.tensor(float(v)) for k, v in d.items()}
+
+
+def test_navigation_task_reward_matches_reference(ref_task_modules):
+    from aerial_gym_simulator_tpu.tasks import navigation_task as NT
+
+    cfg = NT.NavigationTaskConfig()
+    rp = cfg.reward_parameters
+    n = 512
+    rng = np.random.default_rng(31)
+    pos_err = rng.normal(0, 3, (n, 3)).astype(np.float32)
+    prev_err = pos_err + rng.normal(0, 0.2, (n, 3)).astype(np.float32)
+    crashes = (rng.random(n) < 0.15).astype(np.float32)
+    act = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+    pact = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+    frac = 0.37
+
+    ref_reward, _ = ref_task_modules["navigation"].compute_reward(
+        torch.from_numpy(pos_err), torch.from_numpy(prev_err),
+        torch.from_numpy(crashes.copy()), torch.from_numpy(act),
+        torch.from_numpy(pact), frac, _np_dict_to_torch(rp))
+    our_reward = NT.compute_reward(
+        rp, jnp.asarray(pos_err), jnp.asarray(prev_err), jnp.asarray(crashes),
+        jnp.asarray(act), jnp.asarray(pact), jnp.float32(frac))
+    np.testing.assert_allclose(np.asarray(our_reward),
+                               ref_reward.numpy(), atol=1e-4, rtol=1e-4)
+
+
+def test_lidar_navigation_task_reward_matches_reference(ref_task_modules):
+    from aerial_gym_simulator_tpu.tasks import lidar_navigation_task as LT
+
+    cfg = LT.LidarNavigationTaskConfig()
+    rp = cfg.reward_parameters
+    n = 512
+    rng = np.random.default_rng(41)
+    pos_err = rng.normal(0, 3, (n, 3)).astype(np.float32)
+    prev_err = pos_err + rng.normal(0, 0.2, (n, 3)).astype(np.float32)
+    vlin = rng.normal(0, 2, (n, 3)).astype(np.float32)
+    bang = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    yaw_err = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    crashes = (rng.random(n) < 0.15).astype(np.float32)
+    act = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+    pact = rng.uniform(-1, 1, (n, 4)).astype(np.float32)
+    ttc = rng.uniform(0, 5, n).astype(np.float32)
+    frac = 0.61
+
+    ref_reward, _ = ref_task_modules["lidar"].compute_reward(
+        torch.from_numpy(pos_err), torch.from_numpy(prev_err),
+        torch.from_numpy(vlin), torch.from_numpy(bang),
+        torch.from_numpy(yaw_err), torch.from_numpy(crashes.copy()),
+        torch.from_numpy(act), torch.from_numpy(pact),
+        torch.from_numpy(ttc), frac, _np_dict_to_torch(rp))
+    our_reward = LT.compute_reward(
+        rp, jnp.asarray(pos_err), jnp.asarray(prev_err), jnp.asarray(vlin),
+        jnp.asarray(bang), jnp.asarray(yaw_err), jnp.asarray(crashes),
+        jnp.asarray(act), jnp.asarray(pact), jnp.asarray(ttc),
+        jnp.float32(frac))
+    np.testing.assert_allclose(np.asarray(our_reward),
+                               ref_reward.numpy(), atol=1e-4, rtol=1e-4)
