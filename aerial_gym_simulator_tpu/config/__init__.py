@@ -40,6 +40,9 @@ def register_all():
     sim_config_registry.register("base_sim_2ms", SimConfig2Ms)
     sim_config_registry.register("base_sim_4ms", SimConfig4Ms)
     sim_config_registry.register("base_sim_no_gravity", BaseSimNoGravityConfig)
+    # User-template config, unregistered like the reference
+    # (sim/__init__.py:19-20):
+    # sim_config_registry.register("custom_sim", CustomSimConfig)
 
     env_config_registry.register("empty_env", EmptyEnvConfig)
     env_config_registry.register("empty_env_2ms", EmptyEnv2MsConfig)

@@ -60,7 +60,9 @@ def panel_asset_params(num_assets: int = 3) -> AssetTypeConfig:
         min_state_ratio=_ratio(0.3, 0.05, 0.05, 0.0, 0.0, -_pi / 3.0),
         max_state_ratio=_ratio(0.85, 0.95, 0.95, 0.0, 0.0, _pi / 3.0),
         keep_in_env=True,
-        semantic_id=PANEL_SEMANTIC_ID,
+        # reference env_object_config.py:55: -1 => per-instance incremental
+        # (the PANEL_SEMANTIC_ID constant is defined but unused there too)
+        semantic_id=-1,
     )
 
 
@@ -71,19 +73,19 @@ def thin_asset_params(num_assets: int = 0) -> AssetTypeConfig:
         urdf_variants=[procedural.box_urdf("thin_rod", (0.05, 0.05, 2.0))],
         min_state_ratio=_ratio(0.3, 0.05, 0.05, -_pi, -_pi, -_pi),
         max_state_ratio=_ratio(0.85, 0.95, 0.95, _pi, _pi, _pi),
-        semantic_id=THIN_SEMANTIC_ID,
+        semantic_id=-1,
     )
 
 
 def tile_asset_params(num_assets: int = 1) -> AssetTypeConfig:
     """Flat tile panels (reference env_object_config.py tile_asset_params:
-    thin horizontal plates with randomized in-plane pose)."""
+    fixed centered pose, min_state_ratio == max_state_ratio == 0.5)."""
     return AssetTypeConfig(
         name="tiles",
         num_assets=num_assets,
         urdf_variants=[procedural.box_urdf("tile", (1.0, 1.0, 0.05))],
-        min_state_ratio=_ratio(0.3, 0.05, 0.05, 0.0, 0.0, -_pi / 3.0),
-        max_state_ratio=_ratio(0.85, 0.95, 0.95, 0.0, 0.0, _pi / 3.0),
+        min_state_ratio=_ratio(0.5, 0.5, 0.5),
+        max_state_ratio=_ratio(0.5, 0.5, 0.5),
         keep_in_env=True,
         semantic_id=-1,
     )
@@ -102,7 +104,10 @@ def tree_asset_params(num_assets: int = 1) -> AssetTypeConfig:
         min_state_ratio=_ratio(0.1, 0.1, 0.0, 0.0, -_pi / 6.0, -_pi),
         max_state_ratio=_ratio(0.9, 0.9, 0.0, 0.0, _pi / 6.0, _pi),
         keep_in_env=True,
-        semantic_id=TREE_SEMANTIC_ID,
+        # reference: semantic_id=-1 with per_link_semantic (trunk/crown get
+        # distinct counter-assigned ids, warp_asset.py variable segmentation)
+        semantic_id=-1,
+        per_link_semantic=True,
     )
 
 
@@ -128,9 +133,9 @@ def object_asset_params(num_assets: int = 35) -> AssetTypeConfig:
         num_assets=num_assets,
         urdf_variants=variants,
         min_state_ratio=_ratio(0.30, 0.05, 0.05, -_pi, -_pi, -_pi),
-        max_state_ratio=_ratio(0.85, 0.95, 0.95, _pi, _pi, _pi),
+        max_state_ratio=_ratio(0.85, 0.90, 0.90, _pi, _pi, _pi),
         keep_in_env=False,
-        semantic_id=OBJECT_SEMANTIC_ID,
+        semantic_id=-1,
     )
 
 
@@ -168,3 +173,45 @@ def bottom_wall():
 
 def top_wall():
     return _wall("top_wall", (20.0, 20.0, 0.2), (0.5, 0.5, 1.0), TOP_WALL_SEMANTIC_ID)
+
+
+# ---------------------------------------------------------------------------
+# LiDAR-navigation asset catalog (reference config/asset_config/
+# lidar_nav_env_config.py): denser scene (15 panels / 70 objects), wider
+# pose-ratio ranges reaching the env faces, and NO keep_in_env anywhere —
+# walls included — so the task curriculum can cull every slot.
+# ---------------------------------------------------------------------------
+
+
+def lidar_nav_panel_asset_params(num_assets: int = 15) -> AssetTypeConfig:
+    """reference lidar_nav_env_config.py panel_asset_params (num=15,
+    ratios [0.35,0,0]..[1,1,1], keep_in_env=False)."""
+    cfg = panel_asset_params(num_assets)
+    cfg.min_state_ratio = _ratio(0.35, 0.0, 0.0, 0.0, 0.0, -_pi / 3.0)
+    cfg.max_state_ratio = _ratio(1.0, 1.0, 1.0, 0.0, 0.0, _pi / 3.0)
+    cfg.keep_in_env = False
+    return cfg
+
+
+def lidar_nav_object_asset_params(num_assets: int = 70) -> AssetTypeConfig:
+    """reference lidar_nav_env_config.py object_asset_params (num=70,
+    ratios [0.3,0,0]..[1,1,1])."""
+    cfg = object_asset_params(num_assets)
+    cfg.min_state_ratio = _ratio(0.30, 0.0, 0.0, -_pi, -_pi, -_pi)
+    cfg.max_state_ratio = _ratio(1.0, 1.0, 1.0, _pi, _pi, _pi)
+    return cfg
+
+
+def lidar_nav_wall(factory) -> AssetTypeConfig:
+    """Walls in the lidar-nav catalog are NOT keep_in_env (reference
+    lidar_nav_env_config.py left_wall..bottom_wall: keep_in_env=False), so
+    the obstacle-count curriculum may cull them."""
+    cfg = factory()
+    cfg.keep_in_env = False
+    return cfg
+
+
+def dynamic_object_asset_params(num_assets: int = 40) -> AssetTypeConfig:
+    """reference dynamic_env_object_config.py object_asset_params (num=40,
+    gravity disabled / free base so env_actions twists move them)."""
+    return object_asset_params(num_assets)

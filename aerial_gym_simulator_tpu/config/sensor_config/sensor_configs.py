@@ -8,7 +8,7 @@ OS0/OS1/OS2-64/128, OSDome, 2D scanner, fake radar cone), IMU.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -71,7 +71,7 @@ class RsD455Config(BaseDepthCameraConfig):
     height: int = 270
     width: int = 480
     horizontal_fov_deg: float = 87.0
-    max_range: float = 10.0
+    max_range: float = 15.0
     min_range: float = 0.2
 
 
@@ -167,14 +167,23 @@ class BaseLidarConfig:
         default_factory=lambda: SensorNoiseConfig(
             enable_sensor_noise=True, std_a=1e-5, std_b=1e-5, std_c=1e-5,
             mean_offset=-0.05, pixel_dropout_prob=0.0))
+    # Out-of-range sentinels. The reference computes these at CLASS-BODY
+    # time (base_lidar_config.py:48-55), so subclasses that override
+    # max_range without redefining the expression inherit the PARENT's
+    # sentinel (e.g. OS1-64: max_range 90 but sentinel +-35 from
+    # OS_0_128_Config). None = derive from this config's own
+    # normalize_range/max_range; explicit values reproduce the reference's
+    # inherited (stale) sentinels where they differ.
+    far_out_of_range_value: Optional[float] = None
+    near_out_of_range_value: Optional[float] = None
 
-    @property
-    def far_out_of_range_value(self) -> float:
-        return self.max_range if self.normalize_range else -1.0
-
-    @property
-    def near_out_of_range_value(self) -> float:
-        return -self.max_range if self.normalize_range else -1.0
+    def __post_init__(self):
+        if self.far_out_of_range_value is None:
+            self.far_out_of_range_value = (
+                self.max_range if self.normalize_range else -1.0)
+        if self.near_out_of_range_value is None:
+            self.near_out_of_range_value = (
+                -self.max_range if self.normalize_range else -1.0)
 
 
 @dataclass
@@ -189,29 +198,51 @@ class LidarNavConfig(BaseLidarConfig):
 
 @dataclass
 class OS0_64Config(BaseLidarConfig):
+    """Ouster OS0-64 (reference os0_64_config.py:9-14)."""
     height: int = 64
     width: int = 512
     vertical_fov_deg_min: float = -45.0
     vertical_fov_deg_max: float = 45.0
     max_range: float = 35.0
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.36239104e-05,
+            std_b=-3.17199061e-04, std_c=9.61903860e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
 
 
 @dataclass
 class OS0_128Config(BaseLidarConfig):
+    """Ouster OS0-128 (reference os0_128_config.py:50-55)."""
     height: int = 128
     width: int = 512
     vertical_fov_deg_min: float = -45.0
     vertical_fov_deg_max: float = 45.0
     max_range: float = 35.0
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.36239104e-05,
+            std_b=-3.17199061e-04, std_c=9.61903860e-03,
+            mean_offset=-0.05, pixel_dropout_prob=0.0))
 
 
 @dataclass
 class OS1_64Config(BaseLidarConfig):
+    """Ouster OS1-64 (reference os1_64_config.py:13-22)."""
     height: int = 64
     width: int = 512
     vertical_fov_deg_min: float = -22.5
     vertical_fov_deg_max: float = 22.5
     max_range: float = 90.0
+    min_range: float = 0.7
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.08287454e-06,
+            std_b=-4.07347360e-06, std_c=5.30757302e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
+    # inherited-stale sentinel from OS_0_128_Config (see BaseLidarConfig)
+    far_out_of_range_value: Optional[float] = 35.0
+    near_out_of_range_value: Optional[float] = -35.0
 
 
 @dataclass
@@ -238,6 +269,9 @@ class OS2_64Config(BaseLidarConfig):
             enable_sensor_noise=False, std_a=3.08287454e-06,
             std_b=-4.07347360e-06, std_c=5.30757302e-03,
             mean_offset=-0.025, pixel_dropout_prob=0.0))
+    # inherited-stale sentinel from OS_0_128_Config (see BaseLidarConfig)
+    far_out_of_range_value: Optional[float] = 35.0
+    near_out_of_range_value: Optional[float] = -35.0
 
 
 @dataclass
@@ -261,7 +295,7 @@ class PmdFlexx2Config(BaseLidarConfig):
         default_factory=lambda: SensorNoiseConfig(
             enable_sensor_noise=False, std_a=3.08287454e-06,
             std_b=-4.07347360e-06, std_c=5.30757302e-03,
-            mean_offset=-0.025, pixel_dropout_prob=0.0))
+            mean_offset=-0.025, pixel_dropout_prob=0.01))
 
 
 @dataclass
@@ -289,12 +323,27 @@ class StVL53L5CXConfig(BaseLidarConfig):
 
 @dataclass
 class OSDome_64Config(BaseLidarConfig):
-    """Dome lidar: upper hemisphere (reference osdome_64_config.py)."""
+    """Dome lidar: upper hemisphere (reference osdome_64_config.py:12-32:
+    fixed mount, noise disabled with dome stds)."""
     height: int = 64
     width: int = 512
     vertical_fov_deg_min: float = 0.0
     vertical_fov_deg_max: float = 90.0
     max_range: float = 20.0
+    min_range: float = 0.5
+    randomize_placement: bool = False
+    min_translation: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    max_translation: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    min_euler_rotation_deg: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    max_euler_rotation_deg: List[float] = field(default_factory=lambda: [0.0, 0.0, 0.0])
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=0.00038089,
+            std_b=-0.00343351, std_c=0.01553284,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
+    # inherited-stale sentinel from BaseLidarConfig (max_range here is 20)
+    far_out_of_range_value: Optional[float] = 10.0
+    near_out_of_range_value: Optional[float] = -10.0
 
 
 @dataclass
@@ -313,6 +362,21 @@ class RSLidarAiryConfig(BaseLidarConfig):
     pointcloud_in_world_frame: bool = True
     segmentation_camera: bool = False
     normalize_range: bool = False
+    # reference rslidar_airy_config.py:21-34: deterministic -5 cm / -90 deg
+    # pitch mount (sensor looks up through the dome), noise disabled
+    min_translation: List[float] = field(default_factory=lambda: [-0.05, 0.0, 0.0])
+    max_translation: List[float] = field(default_factory=lambda: [-0.05, 0.0, 0.0])
+    min_euler_rotation_deg: List[float] = field(default_factory=lambda: [0.0, -90.0, 0.0])
+    max_euler_rotation_deg: List[float] = field(default_factory=lambda: [0.0, -90.0, 0.0])
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=0.00038089,
+            std_b=-0.00343351, std_c=0.01553284,
+            mean_offset=-0.025, pixel_dropout_prob=0.0))
+    # inherited-stale sentinel from BaseLidarConfig (the reference class
+    # body never recomputes it for the world-frame pointcloud mode)
+    far_out_of_range_value: Optional[float] = 10.0
+    near_out_of_range_value: Optional[float] = -10.0
 
 
 @dataclass
@@ -332,6 +396,16 @@ class FakeRadarConfig(BaseLidarConfig):
     pointcloud_in_world_frame: bool = True
     segmentation_camera: bool = False
     normalize_range: bool = False
+    # reference fake_radar_config.py:54-70
+    min_translation: List[float] = field(
+        default_factory=lambda: [0.07, -0.06, 0.02])
+    max_translation: List[float] = field(
+        default_factory=lambda: [0.12, 0.03, 0.06])
+    sensor_noise: SensorNoiseConfig = field(
+        default_factory=lambda: SensorNoiseConfig(
+            enable_sensor_noise=False, std_a=3.08287454e-06,
+            std_b=-4.07347360e-06, std_c=5.30757302e-03,
+            mean_offset=-0.025, pixel_dropout_prob=0.01))
 
 
 @dataclass
@@ -345,17 +419,36 @@ class Lidar2DConfig(BaseLidarConfig):
 
 @dataclass
 class BaseImuConfig:
+    """Reference imu_config/base_imu_config.py: the base class carries
+    VN100-sampled noise data; noise/bias terms are gated by enable_noise /
+    enable_bias; biases re-init uniform in +-max_bias_init_value; the
+    mount orientation is perturbed within +-2 deg when
+    randomize_placement (imu_sensor.py:47-56, :133-139)."""
     num_sensors: int = 1
     sensor_type: str = "imu"
-    # reference imu_sensor.py noise model
-    accel_noise_std: List[float] = field(default_factory=lambda: [0.01, 0.01, 0.01])
-    gyro_noise_std: List[float] = field(default_factory=lambda: [0.001, 0.001, 0.001])
-    accel_bias_std: List[float] = field(default_factory=lambda: [0.0001, 0.0001, 0.0001])
-    gyro_bias_std: List[float] = field(default_factory=lambda: [1e-5, 1e-5, 1e-5])
-    max_measurement_acceleration: float = 156.96
-    max_measurement_angular_velocity: float = 34.9
     world_frame: bool = False
+    enable_noise: bool = True
+    enable_bias: bool = True
+    # base_imu_config.py:16-31
+    accel_noise_std: List[float] = field(default_factory=lambda: [
+        0.001688956233495657, 0.001688956233495657, 0.001688956233495657])
+    gyro_noise_std: List[float] = field(default_factory=lambda: [
+        0.0010679343003532472, 0.0010679343003532472, 0.0010679343003532472])
+    accel_bias_std: List[float] = field(default_factory=lambda: [
+        9.782812831313576e-07, 9.782812831313576e-07, 9.782812831313576e-07])
+    gyro_bias_std: List[float] = field(default_factory=lambda: [
+        2.6541629581345176e-05, 2.6541629581345176e-05, 2.6541629581345176e-05])
+    # base_imu_config.py:32-48
+    max_measurement_acceleration: float = 100.0
+    max_measurement_angular_velocity: float = 10.0
+    max_bias_init_value: List[float] = field(
+        default_factory=lambda: [1e-3] * 6)
     gravity_compensation: bool = False
+    randomize_placement: bool = False
+    min_euler_rotation_deg: List[float] = field(
+        default_factory=lambda: [-2.0, -2.0, -2.0])
+    max_euler_rotation_deg: List[float] = field(
+        default_factory=lambda: [2.0, 2.0, 2.0])
 
 
 @dataclass
@@ -369,8 +462,7 @@ class BoschBmi088Config(BaseImuConfig):
         default_factory=lambda: [0.001356466, 0.001356466, 0.001356466])
     gyro_bias_std: List[float] = field(
         default_factory=lambda: [1.43527e-05, 1.43527e-05, 1.43527e-05])
-    max_measurement_acceleration: float = 100.0
-    max_measurement_angular_velocity: float = 10.0
+    randomize_placement: bool = True
 
 
 @dataclass
@@ -384,5 +476,4 @@ class VN100Config(BaseImuConfig):
         default_factory=lambda: [9.7828128e-07, 9.7828128e-07, 9.7828128e-07])
     gyro_bias_std: List[float] = field(
         default_factory=lambda: [2.6541630e-05, 2.6541630e-05, 2.6541630e-05])
-    max_measurement_acceleration: float = 100.0
-    max_measurement_angular_velocity: float = 10.0
+    randomize_placement: bool = True

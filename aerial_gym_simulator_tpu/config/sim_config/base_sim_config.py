@@ -68,3 +68,15 @@ class SimConfig4Ms(SimConfig):
 class BaseSimNoGravityConfig(SimConfig):
     name: str = "base_sim_no_gravity"
     gravity: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+
+@dataclass
+class CustomSimConfig(SimConfig):
+    """User-template sim config (reference
+    config/sim_config/custom_sim_config.py:8-12: dt=0.001, sideways
+    gravity). Registration is left to the user, mirroring the commented
+    ``sim_config_registry.register("custom_sim", ...)`` at the
+    reference's sim/__init__.py:19-20."""
+    name: str = "custom_sim"
+    dt: float = 0.001
+    gravity: Tuple[float, float, float] = (1.0, 0.0, 0.0)

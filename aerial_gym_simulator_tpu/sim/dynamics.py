@@ -422,10 +422,13 @@ def reset_envs(params: SimParams, state: SimState, mask: jax.Array) -> SimState:
             lidar_mount_pos=jnp.where(mb[:, None], mpos, state.lidar_mount_pos),
             lidar_mount_quat=jnp.where(mb[:, None], mquat, state.lidar_mount_quat))
     if params.imu is not None:
-        zero3 = jnp.zeros((N, 3), jnp.float32)
+        from ..sensors.imu import sample_imu_reset
+        ki = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 12, jnp.uint32))
+        ab, gb, mq = sample_imu_reset(params.imu, ki)
         state = state.replace(
-            imu_accel_bias=jnp.where(mb[:, None], zero3, state.imu_accel_bias),
-            imu_gyro_bias=jnp.where(mb[:, None], zero3, state.imu_gyro_bias))
+            imu_accel_bias=jnp.where(mb[:, None], ab, state.imu_accel_bias),
+            imu_gyro_bias=jnp.where(mb[:, None], gb, state.imu_gyro_bias),
+            imu_mount_quat=jnp.where(mb[:, None], mq, state.imu_mount_quat))
     return state
 
 

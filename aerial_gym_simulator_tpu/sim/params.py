@@ -264,6 +264,7 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
         lidar_mount_quat=quat0(),
         imu_accel_bias=z(N, 3),
         imu_gyro_bias=z(N, 3),
+        imu_mount_quat=quat0(),
         num_obstacles=jnp.full((N,), A, jnp.int32),
         dof_pos=z(N, D), dof_vel=z(N, D),
         dof_pos_target=z(N, D), dof_vel_target=z(N, D),

@@ -226,8 +226,18 @@ class ImuParams:
     gyro_bias_std: jax.Array
     max_accel: jax.Array
     max_gyro: jax.Array
+    # bias reset: uniform in +-max_bias_init (imu_sensor.py:133-135)
+    accel_bias_init: jax.Array           # (3,)
+    gyro_bias_init: jax.Array            # (3,)
+    # mount-orientation perturbation range, radians (imu_sensor.py:47-56)
+    min_mount_euler_rad: jax.Array       # (3,)
+    max_mount_euler_rad: jax.Array       # (3,)
     world_frame: bool = struct.field(pytree_node=False, default=False)
     gravity_compensation: bool = struct.field(pytree_node=False, default=False)
+    # measurement-term gates (imu_sensor.py:66-67, :112-116)
+    enable_noise: bool = struct.field(pytree_node=False, default=True)
+    enable_bias: bool = struct.field(pytree_node=False, default=True)
+    randomize_placement: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -286,9 +296,10 @@ class SimState:
     cam_mount_quat: jax.Array            # (N, 4)
     lidar_mount_pos: jax.Array           # (N, 3)
     lidar_mount_quat: jax.Array          # (N, 4)
-    # IMU bias random-walk state
+    # IMU bias random-walk state + perturbed mount orientation
     imu_accel_bias: jax.Array            # (N, 3)
     imu_gyro_bias: jax.Array             # (N, 3)
+    imu_mount_quat: jax.Array            # (N, 4)
     # curriculum-controlled obstacle count (reference num_obstacles_in_env)
     num_obstacles: jax.Array             # (N,) int32
     # joint states for reconfigurable robots; (N, 0) when the robot is rigid.
