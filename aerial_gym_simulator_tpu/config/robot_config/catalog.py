@@ -81,6 +81,9 @@ def base_quadrotor_root_link_control() -> RobotConfig:
     """Wrench applied at root link (reference base_quad_root_link_control_config)."""
     cfg = RobotConfig(name="base_quad_root_link_control")
     cfg.control_allocator_config.force_application_level = "root_link"
+    cfg.control_allocator_config.motor_model_config = _motors(
+        kt_min=1.826312e-05, kt_max=1.826312e-05, tau_inc=(0.01, 0.03),
+        tau_dec=(0.005, 0.005), max_thrust=10.0)
     return cfg
 
 
@@ -107,7 +110,8 @@ _CUBE_ALLOCATION = [
 
 def _motors(use_rps=True, kt_min=0.00000926312, kt_max=0.00001826312,
             tau_inc=(0.04, 0.04), tau_dec=(0.04, 0.04), max_thrust=2.0,
-            min_thrust=0.0, max_rate=100000.0, cq=0.01) -> MotorModelConfig:
+            min_thrust=0.0, max_rate=100000.0, cq=0.01,
+            discrete=True) -> MotorModelConfig:
     return MotorModelConfig(
         use_rps=use_rps,
         motor_thrust_constant_min=kt_min,
@@ -120,7 +124,34 @@ def _motors(use_rps=True, kt_min=0.00000926312, kt_max=0.00001826312,
         min_thrust=min_thrust,
         max_thrust_rate=max_rate,
         thrust_to_torque_ratio=cq,
+        use_discrete_approximation=discrete,
     )
+
+
+def _init(pos_min, pos_max, rp=0.0, yaw=math.pi, v=0.2, w=0.2,
+          pos_ratio_quad=False) -> InitConfig:
+    """Reference init-state ranges: [ratio_xyz, roll/pitch, yaw, 1, v, w]."""
+    if pos_ratio_quad:
+        lo = [0.1, 0.15, 0.15]
+        hi = [0.2, 0.85, 0.85]
+    else:
+        lo, hi = list(pos_min), list(pos_max)
+    return InitConfig(
+        min_init_state=lo + [-rp, -rp, -yaw, 1.0] + [-v] * 3 + [-w] * 3,
+        max_init_state=hi + [rp, rp, yaw, 1.0] + [v] * 3 + [w] * 3,
+    )
+
+
+_FULLBOX_INIT = lambda: _init([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+_AGGRESSIVE_DIST = lambda: DisturbanceConfig(
+    enable_disturbance=True, prob_apply_disturbance=0.05,
+    max_force_and_torque_disturbance=[1.5, 1.5, 1.5, 0.25, 0.25, 0.25])
+_LMF2_DIST = lambda: DisturbanceConfig(
+    enable_disturbance=True, prob_apply_disturbance=0.05,
+    max_force_and_torque_disturbance=[4.75, 4.75, 4.75, 0.03, 0.03, 0.03])
+_NO_DIST = lambda: DisturbanceConfig(
+    enable_disturbance=False, prob_apply_disturbance=0.0,
+    max_force_and_torque_disturbance=[0.0] * 6)
 
 
 def base_octarotor() -> RobotConfig:
@@ -135,9 +166,10 @@ def base_octarotor() -> RobotConfig:
                                    tau_dec=(0.005, 0.005),
                                    max_thrust=6.25, min_thrust=-6.25),
     )
-    return _mass_props(RobotConfig(name="base_octarotor",
-                                   control_allocator_config=ca),
-                       1.1, [0.096, 0.096, 0.096])
+    cfg = RobotConfig(name="base_octarotor", control_allocator_config=ca,
+                      init_config=_FULLBOX_INIT(),
+                      disturbance=_AGGRESSIVE_DIST())
+    return _mass_props(cfg, 1.1, [0.096, 0.096, 0.096])
 
 
 def base_rov() -> RobotConfig:
@@ -152,37 +184,36 @@ def base_rov() -> RobotConfig:
                                    tau_dec=(0.005, 0.005),
                                    max_thrust=6.25, min_thrust=-6.25),
     )
-    damping = DampingConfig(
-        linvel_linear_damping_coefficient=[1.0, 1.0, 1.0],
-        linvel_quadratic_damping_coefficient=[1.0, 1.0, 1.0],
-        angular_linear_damping_coefficient=[1.0, 1.0, 1.0],
-        angular_quadratic_damping_coefficient=[1.0, 1.0, 1.0],
-    )
+    # reference base_rov_config.py:59-63: the hydro-damping hooks exist in
+    # base_rov.py but the shipped coefficients are zero
+    damping = DampingConfig()
     # gravity stays ON (reference base_rov_config.py:75); the controller's
     # gravity-compensation term plays the buoyancy role, exactly like the
     # reference's FullyActuatedController (fully_actuated_control.py:26)
     asset = RobotAssetConfig(name="base_rov", file="rov.urdf")
-    return _mass_props(RobotConfig(name="base_rov", control_allocator_config=ca,
-                                   damping=damping, robot_asset=asset),
-                       1.1, [0.096, 0.096, 0.096])
+    cfg = RobotConfig(name="base_rov", control_allocator_config=ca,
+                      damping=damping, robot_asset=asset,
+                      init_config=_FULLBOX_INIT(),
+                      disturbance=_AGGRESSIVE_DIST())
+    return _mass_props(cfg, 1.1, [0.096, 0.096, 0.096])
 
 
 def base_random() -> RobotConfig:
     """reference base_random_config.py — randomized 8-motor configuration
     with a full-rank non-planar allocation matrix (exact reference data)."""
     alloc = [
-        [0.0, -0.32139380, -0.45451948, -0.34202014, 0.96984631, 0.34202014,
-         0.86602540, -0.75440651],
-        [1.0, -0.34202014, -0.70710678, 0.0, -0.17364818, 0.93969262,
-         0.5, -0.17364818],
-        [0.0, -0.88302222, 0.54167522, 0.93969262, 0.17101007, 0.0,
-         0.0, 0.63302222],
-        [0.175, 0.12379421, -0.05698246, 0.13497813, 0.03370456, -0.26652790,
-         -0.07883756, -0.02068857],
-        [0.01, 0.27884609, -0.04328758, -0.27205882, -0.19778905, 0.08637059,
-         0.15654904, -0.17126442],
-        [0.28248558, -0.14174521, -0.08585113, 0.03849494, -0.33346877,
-         0.08367133, 0.00847402, -0.08743303],
+        [5.55111512e-17, -0.321393805, -0.454519478, -0.342020143,
+         0.96984631, 0.342020143, 0.866025404, -0.754406507],
+        [1.0, -0.342020143, -0.707106781, 0.0,
+         -0.173648178, 0.939692621, 0.5, -0.173648178],
+        [1.66533454e-16, -0.883022222, 0.54167522, 0.939692621,
+         0.171010072, 1.11022302e-16, 1.11022302e-16, 0.633022222],
+        [0.175, 0.123788742, -0.0569783368, 0.134977168,
+         0.0336959042, -0.266534135, -0.078839746, -0.0206893989],
+        [0.01, 0.278845133, -0.0432852308, -0.272061766,
+         -0.197793856, 0.0863687139, 0.156554446, -0.17126129],
+        [0.282487373, -0.14173549, -0.0858541103, 0.0384858939,
+         -0.333468026, 0.0836741468, 0.00846777988, -0.0874336259],
     ]
     ca = ControlAllocatorConfig(
         num_motors=8,
@@ -193,9 +224,10 @@ def base_random() -> RobotConfig:
                                    tau_dec=(0.005, 0.005),
                                    max_thrust=5.0, min_thrust=-5.0),
     )
-    return _mass_props(RobotConfig(name="base_random",
-                                   control_allocator_config=ca),
-                       0.25, [0.00285, 0.00359, 0.00348])
+    cfg = RobotConfig(name="base_random", control_allocator_config=ca,
+                      init_config=_FULLBOX_INIT(),
+                      disturbance=_AGGRESSIVE_DIST())
+    return _mass_props(cfg, 0.25, [0.00285, 0.00359, 0.00348])
 
 
 # ---------------------------------------------------------------------------
@@ -234,27 +266,38 @@ def _quad(name, tx, ty, tz, directions, motors: MotorModelConfig,
 
 
 def lmf1() -> RobotConfig:
-    return _mass_props(_quad("lmf1",
-                 [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
-                 [-0.05, 0.05, -0.05, 0.05], [1, 1, -1, -1],
-                 _motors(kt_min=5.487e-6, kt_max=5.487e-6,
-                         tau_inc=(0.025, 0.025), tau_dec=(0.025, 0.025),
-                         max_thrust=20.0, cq=0.05),
-                 application_mask=[4, 1, 3, 2]), 1.235, [0.0134, 0.0134, 0.0138])
+    cfg = _quad("lmf1",
+                [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
+                [-0.05, 0.05, -0.05, 0.05], [1, 1, -1, -1],
+                _motors(kt_min=5.487e-6, kt_max=5.487e-6,
+                        tau_inc=(0.025, 0.025), tau_dec=(0.025, 0.025),
+                        max_thrust=20.0, cq=0.05, discrete=False),
+                application_mask=[4, 1, 3, 2])
+    cfg.init_config = _init([0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                            rp=math.pi / 6.0, v=0.5, w=0.2)
+    cfg.disturbance = _NO_DIST()
+    return _mass_props(cfg, 1.235, [0.0134, 0.0134, 0.0138])
 
 
 def lmf2() -> RobotConfig:
-    return _mass_props(_quad("lmf2",
-                 [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
-                 [-0.07, 0.07, -0.07, 0.07], [1, -1, 1, -1],
-                 _motors(tau_inc=(0.05, 0.08), tau_dec=(0.005, 0.005),
-                         max_thrust=10.0, min_thrust=0.1, cq=0.07)), 1.240, [0.0134, 0.0134, 0.0138])
+    cfg = _quad("lmf2",
+                [-0.13, -0.13, 0.13, 0.13], [-0.13, 0.13, 0.13, -0.13],
+                [-0.07, 0.07, -0.07, 0.07], [1, -1, 1, -1],
+                _motors(tau_inc=(0.05, 0.08), tau_dec=(0.005, 0.005),
+                        max_thrust=10.0, min_thrust=0.1, cq=0.07))
+    # reference lmf2_config.py: force_application_level = "base_link"
+    # (the reference only branches on == "motor_link", so base_link == root)
+    cfg.control_allocator_config.force_application_level = "root_link"
+    cfg.disturbance = _LMF2_DIST()
+    cfg.sensor_config.enable_camera = True
+    return _mass_props(cfg, 1.240, [0.0134, 0.0134, 0.0138])
 
 
 def lmf2_radar() -> RobotConfig:
     """reference lmf2_radar_config.py — lmf2 with a fake-radar cone sensor."""
     cfg = lmf2()
     cfg.name = "lmf2_radar"
+    cfg.sensor_config.enable_camera = False
     cfg.sensor_config.enable_lidar = True
     from ..sensor_config.sensor_configs import FakeRadarConfig
     cfg.sensor_config.lidar_config = FakeRadarConfig()
@@ -262,22 +305,33 @@ def lmf2_radar() -> RobotConfig:
 
 
 def x500() -> RobotConfig:
-    return _mass_props(_quad("x500",
-                 [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
-                 [-0.025, 0.025, -0.025, 0.025], [1, 1, -1, -1],
-                 _motors(kt_min=8.54858e-6, kt_max=8.54858e-6,
-                         tau_inc=(0.0125, 0.0125), tau_dec=(0.025, 0.025),
-                         max_thrust=20.0, cq=0.025),
-                 application_mask=[4, 1, 3, 2]), 1.656, [0.02165, 0.02165, 0.02941])
+    cfg = _quad("x500",
+                [-0.13, 0.13, 0.13, -0.13], [-0.13, 0.13, -0.13, 0.13],
+                [-0.025, 0.025, -0.025, 0.025], [1, 1, -1, -1],
+                _motors(kt_min=8.54858e-6, kt_max=8.54858e-6,
+                        tau_inc=(0.0125, 0.0125), tau_dec=(0.025, 0.025),
+                        max_thrust=20.0, cq=0.025, discrete=False),
+                application_mask=[4, 1, 3, 2])
+    cfg.init_config = _init([0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                            rp=math.pi / 6.0, v=0.5, w=0.2)
+    cfg.disturbance = _NO_DIST()
+    return _mass_props(cfg, 1.656, [0.02165, 0.02165, 0.02941])
 
 
 def tinyprop() -> RobotConfig:
-    return _mass_props(_quad("tinyprop",
-                 [-0.16, -0.16, 0.16, 0.16], [-0.16, 0.16, 0.16, -0.16],
-                 [-0.01, 0.01, -0.01, 0.01], [1, -1, 1, -1],
-                 _motors(kt_min=1.286412e-5, kt_max=1.286412e-5,
-                         tau_inc=(0.047, 0.047), tau_dec=(0.047, 0.047),
-                         max_thrust=1.2, min_thrust=0.2)), 0.373, [0.00293, 0.00293, 0.00426])
+    cfg = _quad("tinyprop",
+                [-0.16, -0.16, 0.16, 0.16], [-0.16, 0.16, 0.16, -0.16],
+                [-0.01, 0.01, -0.01, 0.01], [1, -1, 1, -1],
+                _motors(kt_min=1.286412e-5, kt_max=1.286412e-5,
+                        tau_inc=(0.047, 0.047), tau_dec=(0.047, 0.047),
+                        max_thrust=1.2, min_thrust=0.2))
+    cfg.init_config = _init([-0.7, -0.7, -0.7], [0.7, 0.7, 0.7],
+                            rp=math.pi / 6.0, v=0.5, w=0.5)
+    cfg.disturbance = DisturbanceConfig(
+        enable_disturbance=False, prob_apply_disturbance=0.02,
+        max_force_and_torque_disturbance=[0.001, 0.001, 0.001,
+                                          4e-05, 4e-05, 4e-05])
+    return _mass_props(cfg, 0.373, [0.00293, 0.00293, 0.00426])
 
 
 def magpie() -> RobotConfig:
@@ -289,6 +343,10 @@ def magpie() -> RobotConfig:
                 _motors(tau_inc=(0.01, 0.02), tau_dec=(0.005, 0.015),
                         max_thrust=12.0, min_thrust=0.1,
                         max_rate=1000000.0, cq=0.02))
+    # reference magpie_config.py: force_application_level = "base_link"
+    cfg.control_allocator_config.force_application_level = "root_link"
+    cfg.init_config = _init(None, None, pos_ratio_quad=True, yaw=math.pi)
+    cfg.disturbance = _LMF2_DIST()
     cfg.sensor_config.enable_lidar = True
     from ..sensor_config.sensor_configs import RSLidarAiryConfig
     cfg.sensor_config.lidar_config = RSLidarAiryConfig()
@@ -327,10 +385,7 @@ def snakey() -> RobotConfig:
                 application_mask=[14, 13, 12, 11])
     cfg.dof_config = _snakey_dofs(3)
     cfg.disturbance.enable_disturbance = True
-    cfg.init_config.min_init_state = [0.1, 0.1, 0.1, 0.0, 0.0, -math.pi, 1.0,
-                                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
-    cfg.init_config.max_init_state = [0.3, 0.9, 0.9, 0.0, 0.0, math.pi, 1.0,
-                                      0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    cfg.init_config = _FULLBOX_INIT()
     return _mass_props(cfg, 1.225, [0.00169, 1.533, 1.533])
 
 
@@ -346,7 +401,8 @@ def _snakey_n(name: str, num_motors: int) -> RobotConfig:
         motor_model_config=_motors(use_rps=False, tau_inc=(0.005, 0.005),
                                    tau_dec=(0.005, 0.005), max_thrust=15.0),
     )
-    cfg = RobotConfig(name=name, control_allocator_config=ca)
+    cfg = RobotConfig(name=name, control_allocator_config=ca,
+                      init_config=_FULLBOX_INIT())
     cfg.dof_config = _snakey_dofs(num_motors - 1)
     cfg.disturbance.enable_disturbance = True
     mass = {5: (1.531, [0.00211, 3.065, 3.065]),
@@ -362,15 +418,19 @@ def snakey6() -> RobotConfig:
     return _snakey_n("snakey6", 6)
 
 
-def _morphy_base(name: str) -> RobotConfig:
-    return _mass_props(_quad(name,
-                 [-0.0785, -0.0785, 0.0785, 0.0785],
-                 [-0.0785, 0.0785, 0.0785, -0.0785],
-                 [0.01, -0.01, 0.01, -0.01], [-1, 1, -1, 1],
-                 _motors(use_rps=False, tau_inc=(0.01, 0.03),
-                         tau_dec=(0.005, 0.005), max_thrust=2.0),
-                 application_mask=[3, 6, 9, 12]),
-                       0.29, [0.00074, 0.00077, 0.00059])
+def _morphy_base(name: str, directions=(-1, 1, -1, 1)) -> RobotConfig:
+    # reference morphy_config.py allocation: tz = -0.01*direction
+    tz = [-0.01 * d for d in directions]
+    cfg = _quad(name,
+                [-0.0785, -0.0785, 0.0785, 0.0785],
+                [-0.0785, 0.0785, 0.0785, -0.0785],
+                tz, list(directions),
+                _motors(use_rps=False, tau_inc=(0.01, 0.03),
+                        tau_dec=(0.005, 0.005), max_thrust=2.0),
+                application_mask=[3, 6, 9, 12])
+    cfg.init_config = _init([0.0, 0.0, 0.0], [1.0, 1.0, 1.0],
+                            yaw=math.pi / 6.0)
+    return _mass_props(cfg, 0.29, [0.00074, 0.00077, 0.00059])
 
 
 def morphy() -> RobotConfig:
@@ -396,8 +456,11 @@ def morphy() -> RobotConfig:
 
 
 def morphy_stiff() -> RobotConfig:
-    """reference morphy_stiff_config.py — morphy with rigid (fixed) arms."""
-    return _morphy_base("morphy_stiff")
+    """reference morphy_stiff_config.py — morphy with rigid (fixed) arms,
+    flipped motor directions and disturbances enabled."""
+    cfg = _morphy_base("morphy_stiff", directions=(1, -1, 1, -1))
+    cfg.disturbance.enable_disturbance = True
+    return cfg
 
 
 def morphy_fixed_base() -> RobotConfig:

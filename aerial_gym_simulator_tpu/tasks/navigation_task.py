@@ -46,7 +46,9 @@ logger = CustomLogger("navigation_task")
 @dataclass
 class CurriculumConfig:
     min_level: int = 15
-    max_level: int = 36          # capped at the built obstacle count
+    # reference navigation_task_config.py:64 (capped at the built obstacle
+    # count at construction, see NavigationTask.__init__)
+    max_level: int = 50
     check_after_log_instances: int = 2048
     increase_step: int = 2
     decrease_step: int = 1
@@ -59,8 +61,10 @@ class NavigationTaskConfig:
     seed: int = 1
     sim_name: str = "base_sim"
     env_name: str = "env_with_obstacles"
-    robot_name: str = "base_quadrotor_with_camera"
-    controller_name: str = "lee_velocity_control"
+    # reference navigation_task_config.py: the lmf2 platform (which carries
+    # the depth camera, lmf2_config.py:54) with its velocity controller
+    robot_name: str = "lmf2"
+    controller_name: str = "lmf2_velocity_control"
     args: dict = field(default_factory=dict)
     num_envs: int = 1024
     use_warp: bool = True

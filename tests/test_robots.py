@@ -128,9 +128,11 @@ def test_morphy_fixed_base_root_is_clamped():
 
 
 def test_rov_hydrodynamic_damping_and_gravity_compensation():
-    """ROV: quadratic+linear body drag decays surge velocity, and the
-    fully-actuated controller's gravity-compensation term holds depth
-    (reference base_rov.py simulate_drag; fully_actuated_control.py:26)."""
+    """ROV: the hydro-drag hooks consume the config damping coefficients
+    (reference base_rov.py simulate_drag reads cfg.damping, whose shipped
+    values are ZERO — base_rov_config.py:59-63), and the fully-actuated
+    controller's gravity-compensation term holds depth
+    (fully_actuated_control.py:26)."""
     env = build("base_rov", "no_control")
     env.reset()
     st = env.state
@@ -145,8 +147,33 @@ def test_rov_hydrodynamic_damping_and_gravity_compensation():
     for _ in range(50):
         st = dynamics.env_step(params, st, zero_a)
     v = np.asarray(st.linvel)
-    # drag decays the initial surge velocity
-    assert np.max(v[:, 0]) < 0.75
+    # shipped damping is zero: surge persists (only engine-level per-body
+    # damping ~1e-7 applies); a damped variant decays it
+    assert np.max(v[:, 0]) > 0.9
+
+    import dataclasses
+    from aerial_gym_simulator_tpu.registry.registries import robot_registry
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+
+    def damped_rov():
+        cfg = robot_registry.make("base_rov")
+        cfg.damping.linvel_linear_damping_coefficient = [1.0, 1.0, 1.0]
+        cfg.damping.linvel_quadratic_damping_coefficient = [1.0, 1.0, 1.0]
+        return cfg
+    robot_registry.register("_test_damped_rov", damped_rov)
+    envd = SimBuilder().build_env("base_sim", "empty_env", "_test_damped_rov",
+                                  "no_control", num_envs=N)
+    envd.reset()
+    std = envd.state.replace(
+        pos=jnp.zeros((N, 3)),
+        quat=jnp.tile(jnp.array([0, 0, 0, 1.0], jnp.float32), (N, 1)),
+        linvel=jnp.tile(jnp.array([1.0, 0, 0], jnp.float32), (N, 1)),
+        angvel=jnp.zeros((N, 3)),
+        motor_thrust=jnp.zeros_like(envd.state.motor_thrust))
+    zd = jnp.zeros((N, envd.params.motor.num_motors), jnp.float32)
+    for _ in range(50):
+        std = dynamics.env_step(envd.params, std, zd)
+    assert float(np.max(np.asarray(std.linvel)[:, 0])) < 0.75
 
     # with the fully-actuated controller holding the current pose, the ROV
     # does not sink (gravity compensated like the reference controller)
