@@ -42,9 +42,10 @@ class EnvConfig:
 
 @dataclass
 class EmptyEnvConfig(EnvConfig):
-    """Reference: config/env_config/empty_env.py (1 physics step per env step)."""
+    """Reference: config/env_config/empty_env.py (1 physics step per env
+    step; num_envs=3 — always overridden by the task/builder)."""
     name: str = "empty_env"
-    num_envs: int = 64
+    num_envs: int = 3
     num_physics_steps_per_env_step_mean: int = 1
     num_physics_steps_per_env_step_std: float = 0.0
     collision_force_threshold: float = 0.010

@@ -146,8 +146,11 @@ def ReconfigurableConfig() -> VariantTaskConfig:
 
 
 def MorphyConfig() -> VariantTaskConfig:
+    # reference position_setpoint_task_morphy_config.py:7-8 runs morphy at
+    # the 2 ms sim dt (5 substeps per env step)
     return VariantTaskConfig(
-        variant="morphy", robot_name="morphy", controller_name="no_control",
+        variant="morphy", sim_name="base_sim_2ms", env_name="empty_env_2ms",
+        robot_name="morphy", controller_name="no_control",
         num_envs=1024, observation_space_dim=13 + 4 + 16, action_space_dim=4,
         episode_len_steps=500, crash_dist=3.0,
         action_limit_min=(0.0,) * 4, action_limit_max=(2.0,) * 4,
