@@ -103,3 +103,46 @@ def test_lidar_radar_task_config(ref_task_cfgs, which):
               "success_rate_for_decrease"):
         assert getattr(ours.curriculum, f) == pytest.approx(
             getattr(ref.curriculum, f)), f
+
+
+# ---------------------------------------------------------------------------
+# action_transformation_function: execution-level parity (the reference
+# lambdas are the oracle; they only need torch CPU)
+# ---------------------------------------------------------------------------
+
+
+def test_navigation_action_transform_matches_reference(ref_task_cfgs):
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from aerial_gym_simulator_tpu.tasks.navigation_task import (
+        NavigationTaskConfig, action_transform)
+    ref = ref_task_cfgs["navigation_task_config"]
+    ref.device = "cpu"
+    rng = np.random.default_rng(11)
+    raw = rng.uniform(-1.5, 1.5, (256, 4)).astype(np.float32)
+    ref_out = ref.action_transformation_function(torch.from_numpy(raw.copy()))
+    our_out = action_transform(NavigationTaskConfig(), jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("which", ["lidar", "radar"])
+def test_lidar_action_transform_matches_reference(ref_task_cfgs, which):
+    import numpy as np
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+    from aerial_gym_simulator_tpu.tasks.lidar_navigation_task import (
+        LidarNavigationTaskConfig, RadarNavigationTaskConfig, action_transform)
+    key = ("lidar_navigation_task_config" if which == "lidar"
+           else "radar_navigation_task_config")
+    ref = ref_task_cfgs[key]
+    ref.device = "cpu"
+    ours_cfg = (LidarNavigationTaskConfig() if which == "lidar"
+                else RadarNavigationTaskConfig())
+    rng = np.random.default_rng(13)
+    raw = rng.uniform(-1.5, 1.5, (256, 4)).astype(np.float32)
+    ref_out = ref.action_transformation_function(torch.from_numpy(raw.copy()))
+    our_out = action_transform(ours_cfg, jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(our_out), ref_out.numpy(),
+                               atol=1e-5, rtol=1e-5)
