@@ -61,6 +61,16 @@ class PPOConfig:
     activation: str = "elu"
     normalize_advantage: bool = True
     normalize_obs: bool = True
+    # rl-games parity knobs (reference ppo_aerial_quad.yaml):
+    # value_bootstrap adds gamma*V(s_t) to the reward at TRUNCATED steps
+    # (rl-games a2c_common play_steps time_outs handling) so timeouts are
+    # not treated as true terminals; bounds_loss penalizes policy means
+    # outside [-1.1, 1.1] (rl-games bound_loss soft bound);
+    # normalize_value trains the critic in running-normalized return space
+    # (rl-games value_mean_std).
+    value_bootstrap: bool = True
+    bounds_loss_coef: float = 0.0001
+    normalize_value: bool = False
     reward_scale: float = 0.1
     seed: int = 42
     # recurrent policy: None (MLP) or "gru". With "gru" the policy carries
@@ -108,11 +118,45 @@ class RunningMeanStd:
         m_a = s["var"] * s["count"]
         m_b = b_var * b_count
         M2 = m_a + m_b + delta * delta * s["count"] * b_count / tot
-        return {"mean": mean, "var": M2 / tot, "count": tot}
+        # preserve any co-located stats (e.g. the v_* value-return keys)
+        out = dict(s)
+        out.update(mean=mean, var=M2 / tot, count=tot)
+        return out
 
     @staticmethod
     def normalize(s, x):
         return jnp.clip((x - s["mean"]) / jnp.sqrt(s["var"] + 1e-8), -5.0, 5.0)
+
+
+def _vstats_update(norm, x):
+    """Update the scalar value-return running stats stored alongside the
+    obs stats (keys v_mean/v_var/v_count; rl-games value_mean_std)."""
+    b_mean = x.mean()
+    b_var = x.var()
+    b_count = jnp.asarray(x.size, jnp.float32)
+    delta = b_mean - norm["v_mean"]
+    tot = norm["v_count"] + b_count
+    mean = norm["v_mean"] + delta * b_count / tot
+    M2 = (norm["v_var"] * norm["v_count"] + b_var * b_count
+          + delta * delta * norm["v_count"] * b_count / tot)
+    out = dict(norm)
+    out.update(v_mean=mean, v_var=M2 / tot, v_count=tot)
+    return out
+
+
+def _v_normalize(norm, v):
+    return (v - norm["v_mean"]) / jnp.sqrt(norm["v_var"] + 1e-8)
+
+
+def _v_unnormalize(norm, v):
+    return v * jnp.sqrt(norm["v_var"] + 1e-8) + norm["v_mean"]
+
+
+def _bounds_loss(mean):
+    """rl-games bound_loss: quadratic penalty outside the 1.1 soft bound."""
+    high = jnp.maximum(mean - 1.1, 0.0) ** 2
+    low = jnp.minimum(mean + 1.1, 0.0) ** 2
+    return jnp.mean(jnp.sum(high + low, axis=-1))
 
 
 def _gae(gamma: float, lam: float, values, rewards, dones, last_value):
@@ -207,11 +251,16 @@ def make_train_step(step_fn, cfg: PPOConfig):
         key, akey = jax.random.split(key)
         norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
         mean, log_std, value = apply_net(ts.params, ts, norm_obs)
+        if cfg.normalize_value:
+            value = _v_unnormalize(norm, value)
         action, logp = sample_action(mean, log_std, akey)
         env_carry, next_obs, reward, term, trunc = step_fn(env_carry, action)
         done = jnp.maximum(term, trunc)
-        transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
-                      done, term)
+        shaped = reward * cfg.reward_scale
+        if cfg.value_bootstrap:
+            # rl-games time_outs bootstrap: truncation is not a terminal
+            shaped = shaped + cfg.gamma * value * trunc
+        transition = (norm_obs, action, logp, value, shaped, done, term)
         return (ts, env_carry, next_obs, key, norm), transition
 
     def loss_fn(net_params, ts, mb):
@@ -232,6 +281,8 @@ def make_train_step(step_fn, cfg: PPOConfig):
         # the adaptive lr scheduler; stop_gradient: diagnostics only
         kl = jax.lax.stop_gradient(jnp.mean(ratio - 1.0 - d))
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
+        if cfg.bounds_loss_coef:
+            total = total + cfg.bounds_loss_coef * _bounds_loss(mean)
         return total, (pg_loss, v_loss, ent, kl)
 
     def train_step(ts: TrainState, env_carry, obs, key, norm):
@@ -246,8 +297,18 @@ def make_train_step(step_fn, cfg: PPOConfig):
         last_norm_obs = (RunningMeanStd.normalize(norm, obs)
                          if cfg.normalize_obs else obs)
         _, _, last_value = apply_net(ts.params, ts, last_norm_obs)
+        if cfg.normalize_value:
+            last_value = _v_unnormalize(norm, last_value)
         adv_t, ret_t = _gae(cfg.gamma, cfg.gae_lambda, values_t, rewards_t,
                             dones_t, last_value)
+        values_st, ret_st = values_t, ret_t
+        if cfg.normalize_value:
+            # rl-games order: update stats on values, normalize; then on
+            # returns, normalize — the loss then runs in normalized space
+            norm = _vstats_update(norm, values_t)
+            values_st = _v_normalize(norm, values_t)
+            norm = _vstats_update(norm, ret_t)
+            ret_st = _v_normalize(norm, ret_t)
 
         flat = lambda x: x.reshape((batch,) + x.shape[2:])
         # Pack every per-sample array into ONE (batch, D) matrix so the
@@ -261,8 +322,8 @@ def make_train_step(step_fn, cfg: PPOConfig):
         act_dim = actions_t.shape[-1]
         data2d = jnp.concatenate(
             [flat(norm_obs_t), flat(actions_t), flat(logps_t)[:, None],
-             flat(values_t)[:, None], flat(adv_t)[:, None],
-             flat(ret_t)[:, None]], axis=1)
+             flat(values_st)[:, None], flat(adv_t)[:, None],
+             flat(ret_st)[:, None]], axis=1)
 
         def unpack(mb):
             o = mb[:, :obs_dim]
@@ -352,10 +413,15 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
         norm_obs = RunningMeanStd.normalize(norm, obs) if cfg.normalize_obs else obs
         h_in = h * (1.0 - done_prev)[:, None]
         mean, log_std, value, h_new = apply_net(ts.params, ts, norm_obs, h_in)
+        if cfg.normalize_value:
+            value = _v_unnormalize(norm, value)
         action, logp = sample_action(mean, log_std, akey)
         env_carry, next_obs, reward, term, trunc = step_fn(env_carry, action)
         done = jnp.maximum(term, trunc)
-        transition = (norm_obs, action, logp, value, reward * cfg.reward_scale,
+        shaped = reward * cfg.reward_scale
+        if cfg.value_bootstrap:
+            shaped = shaped + cfg.gamma * value * trunc
+        transition = (norm_obs, action, logp, value, shaped,
                       done, term, done_prev)
         return (ts, (env_carry, h_new, done), next_obs, key, norm), transition
 
@@ -391,6 +457,8 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
         ent = jnp.mean(gaussian_entropy(log_std))
         kl = jax.lax.stop_gradient(jnp.mean(ratio - 1.0 - d))
         total = pg_loss + cfg.value_coef * v_loss - cfg.entropy_coef * ent
+        if cfg.bounds_loss_coef:
+            total = total + cfg.bounds_loss_coef * _bounds_loss(means)
         return total, (pg_loss, v_loss, ent, kl)
 
     def train_step(ts: TrainState, env_carry_ext, obs, key, norm):
@@ -407,16 +475,24 @@ def make_train_step_rnn(step_fn, cfg: PPOConfig):
                          if cfg.normalize_obs else obs)
         h_in = h_last * (1.0 - done_last)[:, None]
         _, _, last_value, _ = apply_net(ts.params, ts, last_norm_obs, h_in)
+        if cfg.normalize_value:
+            last_value = _v_unnormalize(norm, last_value)
         adv_t, ret_t = _gae(cfg.gamma, cfg.gae_lambda, values_t, rewards_t,
                             dones_t, last_value)
+        values_st, ret_st = values_t, ret_t
+        if cfg.normalize_value:
+            norm = _vstats_update(norm, values_t)
+            values_st = _v_normalize(norm, values_t)
+            norm = _vstats_update(norm, ret_t)
+            ret_st = _v_normalize(norm, ret_t)
 
         # pack sequences as contiguous per-env rows: (T, N, D) -> (N, T*D)
         obs_dim = norm_obs_t.shape[-1]
         act_dim = actions_t.shape[-1]
         col = lambda x: x[..., None]
         data3d = jnp.concatenate(
-            [norm_obs_t, actions_t, col(logps_t), col(values_t), col(adv_t),
-             col(ret_t), col(done_prev_t)], axis=-1)
+            [norm_obs_t, actions_t, col(logps_t), col(values_st), col(adv_t),
+             col(ret_st), col(done_prev_t)], axis=-1)
         Dt = data3d.shape[-1]
         data_rows = jnp.swapaxes(data3d, 0, 1).reshape(N, T * Dt)
 
@@ -508,6 +584,12 @@ class PPOTrainer:
         self.train_state = TrainState.create(apply_fn=self.network.apply,
                                              params=net_params, tx=tx)
         self.norm = RunningMeanStd.init(obs_dim)
+        # scalar running stats for value normalization (rl-games
+        # value_mean_std); carried even when disabled so the norm pytree
+        # structure is config-independent for checkpoints/sharding
+        self.norm.update(v_mean=jnp.zeros((), jnp.float32),
+                         v_var=jnp.ones((), jnp.float32),
+                         v_count=jnp.asarray(1e-4, jnp.float32))
         self.key = key
         self._iter = 0  # next training iteration (elastic resume cursor)
 

@@ -71,8 +71,13 @@ def main():
         entropy_coef=args.ent_coef,
         lr=args.learning_rate,
         # CleanRL semantics: constant lr (the reference script's anneal_lr
-        # is a linear decay, not rl-games' adaptive KL scheduler)
+        # is a linear decay, not rl-games' adaptive KL scheduler), truncation
+        # treated as terminal (no time_outs bootstrap), no rl-games bounds
+        # loss or value normalization
         lr_schedule="fixed",
+        value_bootstrap=False,
+        bounds_loss_coef=0.0,
+        normalize_value=False,
         max_grad_norm=args.max_grad_norm,
         total_env_steps=args.total_steps,
         reward_scale=args.reward_scale,

@@ -66,12 +66,17 @@ def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
         # values (e.g. "linear") are not implemented -> warn + constant
         lr_schedule=_map_lr_schedule(c.get("lr_schedule")),
         kl_threshold=float(c.get("kl_threshold", 0.016)),
-        max_grad_norm=float(c.get("grad_norm", 1.0)),
         total_env_steps=int(c.get("max_epochs", 400)) * envs * horizon,
         hidden=tuple(mlp.get("units", [256, 128, 64])),
         activation=mlp.get("activation", "elu"),
         normalize_advantage=bool(c.get("normalize_advantage", True)),
         normalize_obs=bool(c.get("normalize_input", False)),
+        normalize_value=bool(c.get("normalize_value", False)),
+        value_bootstrap=bool(c.get("value_bootstrap", True)),
+        bounds_loss_coef=float(c.get("bounds_loss_coef", 0.0001)),
+        # rl-games truncate_grads=False means no grad clipping at all
+        max_grad_norm=(float(c.get("grad_norm", 1.0))
+                       if bool(c.get("truncate_grads", True)) else 1e9),
         reward_scale=float(reward_shaper.get("scale_value", 1.0)),
         seed=int(seed if seed is not None else p.get("seed", 42)),
     )

@@ -12,6 +12,7 @@ measurement and print the fit error.
 Run:  python examples/morphy_soft_arm_example.py [--steps 1500] [--csv f.csv]
 """
 
+import os
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 
@@ -46,7 +47,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--num_envs", type=int, default=1)
-    ap.add_argument("--csv", type=str, default=None,
+    ap.add_argument("--csv", type=str,
+                    default=(os.path.join(os.path.dirname(__file__),
+                                          "stored_data", "joint_step.csv")
+                             if os.path.exists(os.path.join(
+                                 os.path.dirname(__file__), "stored_data",
+                                 "joint_step.csv")) else None),
                     help="measured time,elevation_deg CSV to compare against")
     ap.add_argument("--out", type=str,
                     default="/tmp/morphy_arm_step.csv")

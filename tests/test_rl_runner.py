@@ -190,3 +190,44 @@ def test_adaptive_lr_scheduler_moves_lr():
     tr2 = PPOTrainer(task, fixed_cfg)
     same = _adapt_lr(fixed_cfg, tr2.train_state, jnp.asarray(1.0))
     assert same is tr2.train_state
+
+
+def test_ppo_learns_with_value_normalization_and_bootstrap():
+    """rl-games parity knobs (ppo_aerial_quad.yaml: normalize_value,
+    value_bootstrap, bounds_loss_coef) must not break learning. The bandit
+    env truncates every 4 steps so the time_outs bootstrap path is
+    actually exercised, and rewards are scaled up so the value running
+    stats do real work."""
+    import jax.numpy as jnp
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    N, obs_dim, act_dim = 64, 4, 2
+    target = jnp.array([0.4, -0.2])
+
+    class BanditTask:
+        class task_config:
+            observation_space_dim = obs_dim
+            action_space_dim = act_dim
+
+        def make_step_fn(self):
+            def step(carry, action):
+                carry = carry + 1
+                obs = jnp.zeros((N, obs_dim)) + 0.0 * carry.astype(jnp.float32)
+                reward = 10.0 * -jnp.abs(action - target[None, :]).sum(-1)
+                term = jnp.zeros((N,), jnp.float32)
+                trunc = jnp.full((N,), (carry % 4 == 0), jnp.float32)
+                return carry, obs, reward, term, trunc
+            return step, jnp.zeros((), jnp.int32), jnp.zeros((N, obs_dim))
+
+    cfg = PPOConfig(num_envs=N, horizon=8, minibatch_size=128, epochs=4,
+                    lr=3e-3, gamma=0.9, gae_lambda=0.95, seed=3,
+                    normalize_obs=False, reward_scale=0.1,
+                    normalize_value=True, value_bootstrap=True,
+                    bounds_loss_coef=1e-4,
+                    total_env_steps=N * 8 * 300)
+    tr = PPOTrainer(BanditTask(), cfg)
+    hist = tr.train(log_every=50)
+    first, last = hist[0]["reward_mean"], hist[-1]["reward_mean"]
+    assert last > first + 0.2, (first, last)
+    a = np.asarray(tr.act(jnp.zeros((1, obs_dim))))
+    np.testing.assert_allclose(a[0], np.asarray(target), atol=0.15)
