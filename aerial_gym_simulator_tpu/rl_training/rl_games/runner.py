@@ -46,6 +46,7 @@ def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
     p = doc.get("params", doc)
     c = p.get("config", {})
     mlp = p.get("network", {}).get("mlp", {})
+    rnn = p.get("network", {}).get("rnn", {}) or {}
     horizon = int(c.get("horizon_length", 32))
     envs = int(num_envs or c.get("env_config", {}).get("num_envs",
                                                        c.get("num_actors", 4096)))
@@ -78,6 +79,10 @@ def ppo_config_from_yaml(doc: dict, num_envs: Optional[int] = None,
         max_grad_norm=(float(c.get("grad_norm", 1.0))
                        if bool(c.get("truncate_grads", True)) else 1e9),
         reward_scale=float(reward_shaper.get("scale_value", 1.0)),
+        # rl-games rnn section (reference ppo_aerial_quad_navigation.yaml:
+        # gru, units 32): maps onto the native recurrent PPO path
+        rnn=("gru" if rnn.get("name") == "gru" else None),
+        rnn_hidden=int(rnn.get("units", 256)),
         seed=int(seed if seed is not None else p.get("seed", 42)),
     )
 
