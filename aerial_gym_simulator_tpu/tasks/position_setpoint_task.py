@@ -46,7 +46,20 @@ class PositionSetpointTaskConfig:
     episode_len_steps: int = 500
     return_state_before_reset: bool = False
     crash_dist_threshold: float = 8.0
-    reward_parameters: dict = field(default_factory=dict)
+    # carried for config-surface parity (reference
+    # position_setpoint_task_config.py:22-32); the jit reward kernel
+    # hardcodes its shaping constants in both frameworks
+    reward_parameters: dict = field(default_factory=lambda: {
+        "pos_error_gain1": [2.0, 2.0, 2.0],
+        "pos_error_exp1": [1 / 3.5, 1 / 3.5, 1 / 3.5],
+        "pos_error_gain2": [2.0, 2.0, 2.0],
+        "pos_error_exp2": [2.0, 2.0, 2.0],
+        "dist_reward_coefficient": 7.5,
+        "max_dist": 15.0,
+        "action_diff_penalty_gain": [1.0, 1.0, 1.0],
+        "absolute_action_reward_gain": [2.0, 2.0, 2.0],
+        "crash_penalty": -100,
+    })
 
 
 def compute_reward(pos_error, robot_quats, robot_angvels, crashes,

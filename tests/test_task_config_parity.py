@@ -64,8 +64,10 @@ def _reward_dict_asserts(ref, ours, skip=()):
 def test_position_task_config(ref_task_cfgs):
     from aerial_gym_simulator_tpu.tasks.position_setpoint_task import (
         PositionSetpointTaskConfig)
-    _common_asserts(ref_task_cfgs["position_setpoint_task_config"],
-                    PositionSetpointTaskConfig())
+    ref = ref_task_cfgs["position_setpoint_task_config"]
+    ours = PositionSetpointTaskConfig()
+    _common_asserts(ref, ours)
+    _reward_dict_asserts(ref, ours)
 
 
 def test_navigation_task_config(ref_task_cfgs):
