@@ -152,6 +152,16 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
                 ep_kind[e, c] = k
                 c += 1
 
+    # per-env culling priority: keep slots first (rank < n_keep), the rest
+    # a per-env random permutation (reference asset_loader.py:181-185)
+    keep_idx = [i for i, k in enumerate(slots_keep) if k > 0]
+    free_idx = [i for i, k in enumerate(slots_keep) if k == 0]
+    cull_rank = np.zeros((num_envs, A), np.int32)
+    for e in range(num_envs):
+        order = keep_idx + list(rng.permutation(free_idx))
+        for rank, slot in enumerate(order):
+            cull_rank[e, slot] = rank
+
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     return SceneParams(
         prim_kind=jnp.asarray(prim_kind),
@@ -171,6 +181,7 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         env_prim_pos=f32(ep_pos),
         env_prim_rot=f32(ep_rot),
         env_prim_semantic=jnp.asarray(ep_sem),
+        cull_rank=jnp.asarray(cull_rank),
         num_assets=A,
         max_prims=P,
         num_env_prims=P_env,
@@ -208,8 +219,10 @@ def reset_obstacles(params: SimParams, state: SimState, mask: jax.Array,
     num = jnp.maximum(state.num_obstacles.astype(jnp.float32), n_keep)   # (N,)
     half = rnglib.env_bernoulli(k_half, 0.15)                            # (N,)
     num = jnp.where(half > 0, jnp.maximum(jnp.floor(num / 2.0), n_keep), num)
-    slot_idx = jnp.arange(A, dtype=jnp.float32)[None, :]                 # (1,A)
-    culled = (slot_idx >= num[:, None]).astype(jnp.float32) * (1.0 - sc.keep_in_env[None, :])
+    # per-env priority order decides WHICH slots the curriculum culls
+    # (reference: per-env shuffled non-keep assets)
+    culled = ((sc.cull_rank.astype(jnp.float32) >= num[:, None])
+              .astype(jnp.float32) * (1.0 - sc.keep_in_env[None, :]))
     pos = jnp.where(culled[..., None] > 0,
                     jnp.full_like(pos, CULL_POSITION), pos)
 

@@ -166,6 +166,11 @@ class SceneParams:
     env_prim_pos: jax.Array              # (N, P, 3)
     env_prim_rot: jax.Array              # (N, P, 3, 3)
     env_prim_semantic: jax.Array         # (N, P) int32
+    # per-env curriculum culling priority (N, A) int32: keep_in_env slots
+    # rank first, remaining slots in a per-env random order (reference
+    # asset_loader.py:181-185 shuffles the non-keep assets per env, so
+    # which assets the curriculum culls differs env to env)
+    cull_rank: jax.Array
     num_assets: int = struct.field(pytree_node=False, default=0)
     max_prims: int = struct.field(pytree_node=False, default=0)
     num_env_prims: int = struct.field(pytree_node=False, default=0)

@@ -121,3 +121,43 @@ def test_env_compositions_match_reference():
     # lidar-nav walls are cullable (keep_in_env False)
     lidar = env_config_registry.make("env_with_lidar_nav_obstacles")
     assert all(not t.keep_in_env for t in lidar.asset_types)
+
+
+def test_curriculum_culls_random_per_env_subset():
+    """The reference shuffles non-keep assets per env at build time
+    (asset_loader.py:181-185), so at a given curriculum level DIFFERENT
+    slots are culled in different envs; keep_in_env slots never cull."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+    from aerial_gym_simulator_tpu.envs.scene import CULL_POSITION
+
+    env = SimBuilder().build_env("base_sim", "env_with_lidar_nav_obstacles",
+                                 "base_quadrotor", "lee_velocity_control",
+                                 num_envs=16, seed=11)
+    env.reset()
+    st = env.state.replace(num_obstacles=jnp.full((16,), 40, jnp.int32))
+    from aerial_gym_simulator_tpu.envs.scene import reset_obstacles
+    keys = env.state.rng
+    st = reset_obstacles(env.params, st, jnp.ones((16,)), keys)
+    pos = np.asarray(st.obstacle_pos)
+    culled = pos[..., 0] < CULL_POSITION / 2  # (16, A) bool
+    # roughly A-40-ish culled per env (exact count varies with the
+    # Bernoulli half-density draw), but never everything and never nothing
+    assert culled.any() and not culled.all()
+    # the culled SET differs between envs (per-env shuffle)
+    patterns = {tuple(row) for row in culled}
+    assert len(patterns) > 4, len(patterns)
+    # keep_in_env slots are never culled (none in the lidar env; check on
+    # the nav env where walls/panels are keep_in_env)
+    env2 = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                  "base_quadrotor", "lee_velocity_control",
+                                  num_envs=8, seed=3)
+    env2.reset()
+    st2 = env2.state.replace(num_obstacles=jnp.full((8,), 15, jnp.int32))
+    st2 = reset_obstacles(env2.params, st2, jnp.ones((8,)), env2.state.rng)
+    keep = np.asarray(env2.params.scene.keep_in_env) > 0
+    pos2 = np.asarray(st2.obstacle_pos)
+    assert (pos2[:, keep, 0] > CULL_POSITION / 2).all()
