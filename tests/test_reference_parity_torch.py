@@ -601,3 +601,147 @@ def test_lidar_navigation_task_reward_matches_reference(ref_task_modules):
         jnp.float32(frac))
     np.testing.assert_allclose(np.asarray(our_reward),
                                ref_reward.numpy(), atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# position-variant task rewards: differential vs the reference's kernels
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_variant_modules(ref_task_modules):
+    """Import the 6 position-variant task modules (same stubbing as
+    ref_task_modules; the e2e/px4 modules also import more pytorch3d
+    names at module scope, never called by the reward kernels)."""
+    import importlib
+
+    tr = sys.modules["pytorch3d.transforms"]
+    for name in ("euler_angles_to_matrix", "matrix_to_rotation_6d",
+                 "quaternion_to_matrix", "matrix_to_euler_angles"):
+        if not hasattr(tr, name):
+            setattr(tr, name, lambda *a, **k: None)
+
+    def pkg(name, path):
+        m = sys.modules.get(name)
+        if m is None:
+            m = types.ModuleType(name)
+            sys.modules[name] = m
+        m.__path__ = [path]
+        return m
+
+    out = {}
+    for short, mod in [
+        ("sim2real", "position_setpoint_task_sim2real"),
+        ("acceleration", "position_setpoint_task_acceleration_sim2real"),
+        ("end_to_end", "position_setpoint_task_sim2real_end_to_end"),
+        ("px4", "position_setpoint_task_sim2real_px4"),
+        ("reconfigurable", "position_setpoint_task_reconfigurable"),
+        ("morphy", "position_setpoint_task_morphy"),
+    ]:
+        pkg(f"aerial_gym.task.{mod}", os.path.join(REF, "task", mod))
+        out[short] = importlib.import_module(f"aerial_gym.task.{mod}.{mod}")
+    return out
+
+
+def _variant_batch(seed, n=512, act_dim=4):
+    rng = np.random.default_rng(seed)
+    return dict(
+        pos_err=rng.normal(0, 3, (n, 3)).astype(np.float32),
+        prev_dist=rng.uniform(0, 8, n).astype(np.float32),
+        yaw_err=rng.uniform(-np.pi, np.pi, n).astype(np.float32),
+        linvel=rng.normal(0, 2, (n, 3)).astype(np.float32),
+        angvel=rng.normal(0, 1, (n, 3)).astype(np.float32),
+        crashes=(rng.random(n) < 0.1).astype(np.float32),
+        act=rng.uniform(-1, 1, (n, act_dim)).astype(np.float32),
+        pact=rng.uniform(-1, 1, (n, act_dim)).astype(np.float32),
+        quats=_rand_quats(n, seed + 1),
+    )
+
+
+@pytest.mark.parametrize("which", ["sim2real", "acceleration"])
+def test_sim2real_variant_rewards_match_reference(ref_variant_modules, which):
+    from aerial_gym_simulator_tpu.tasks import position_setpoint_variants as V
+    b = _variant_batch(51 if which == "sim2real" else 52)
+    t = lambda x: torch.from_numpy(np.array(x))
+    ref_reward, ref_crashes = ref_variant_modules[which].compute_reward(
+        t(b["pos_err"]), t(b["prev_dist"]), t(b["yaw_err"]), t(b["linvel"]),
+        t(b["angvel"]), t(b["crashes"]), 1.0, t(b["act"]), t(b["pact"]), {})
+    ours_fn = (V._sim2real_reward if which == "sim2real"
+               else V._acceleration_reward)
+    our_reward, our_crashes = ours_fn(
+        jnp.asarray(b["pos_err"]), jnp.asarray(b["prev_dist"]),
+        jnp.asarray(b["yaw_err"]), jnp.asarray(b["linvel"]),
+        jnp.asarray(b["angvel"]), jnp.asarray(b["crashes"]),
+        jnp.asarray(b["act"]), jnp.asarray(b["pact"]))
+    np.testing.assert_allclose(np.asarray(our_reward), ref_reward.numpy(),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(our_crashes), ref_crashes.numpy())
+
+
+@pytest.mark.parametrize("which", ["end_to_end", "px4"])
+def test_motor_command_variant_rewards_match_reference(ref_variant_modules,
+                                                       which):
+    from aerial_gym_simulator_tpu.tasks import position_setpoint_variants as V
+    b = _variant_batch(61 if which == "end_to_end" else 62)
+    prev_pos_err = b["pos_err"] + np.float32(0.2) * b["linvel"]
+    crash_dist = 1.5 if which == "end_to_end" else 6.5
+    t = lambda x: torch.from_numpy(np.array(x))
+    ref_out = ref_variant_modules[which].compute_reward(
+        t(b["pos_err"]), t(b["quats"]), t(b["linvel"]), t(b["angvel"]),
+        t(b["crashes"]), t(b["act"]), t(b["pact"]), t(prev_pos_err),
+        crash_dist)
+    ref_reward, ref_crashes = ref_out
+    if which == "end_to_end":
+        kw = dict(z_scale=11.0, hover_thrust=9.81 * 0.372 / 4.0,
+                  closer_gains=(10.0, 15.0), upright2=False,
+                  align_gains=(6.0, 0.0), angvel_gain=0.3,
+                  act_diff=(1.3, 6.0), crash_dist=crash_dist,
+                  closer_big=None)
+    else:
+        kw = dict(z_scale=13.0, hover_thrust=9.81 * 1.6559999883174896 / 4.0,
+                  closer_gains=(50.0, 100.0), upright2=True,
+                  align_gains=(4.0, 2.0), angvel_gain=0.75,
+                  act_diff=(0.5, 6.0), crash_dist=crash_dist,
+                  closer_big=None)
+    our_reward, our_crashes = V._motor_command_reward(
+        jnp.asarray(b["pos_err"]), jnp.asarray(prev_pos_err),
+        jnp.asarray(b["quats"]), jnp.asarray(b["linvel"]),
+        jnp.asarray(b["angvel"]), jnp.asarray(b["crashes"]),
+        jnp.asarray(b["act"]), jnp.asarray(b["pact"]), **kw)
+    np.testing.assert_allclose(np.asarray(our_reward), ref_reward.numpy(),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(our_crashes), ref_crashes.numpy())
+
+
+def test_reconfigurable_reward_matches_reference(ref_variant_modules):
+    from aerial_gym_simulator_tpu.tasks import position_setpoint_variants as V
+    b = _variant_batch(71, act_dim=16)
+    t = lambda x: torch.from_numpy(np.array(x))
+    ref_reward, ref_crashes = ref_variant_modules["reconfigurable"].compute_reward(
+        t(b["pos_err"]), t(b["quats"]), t(b["angvel"]), t(b["crashes"]),
+        1.0, t(b["act"]), t(b["pact"]), {})
+    our_reward, our_crashes = V._reconfigurable_reward(
+        jnp.asarray(b["pos_err"]), jnp.asarray(b["quats"]),
+        jnp.asarray(b["angvel"]), jnp.asarray(b["crashes"]))
+    np.testing.assert_allclose(np.asarray(our_reward), ref_reward.numpy(),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(our_crashes), ref_crashes.numpy())
+
+
+def test_morphy_reward_matches_reference(ref_variant_modules):
+    from aerial_gym_simulator_tpu.tasks import position_setpoint_variants as V
+    b = _variant_batch(81)
+    rng = np.random.default_rng(82)
+    joint_vels = rng.normal(0, 0.3, (512, 8)).astype(np.float32)
+    t = lambda x: torch.from_numpy(np.array(x))
+    ref_reward, ref_crashes = ref_variant_modules["morphy"].compute_reward(
+        t(b["pos_err"]), t(b["quats"]), t(b["linvel"]), t(b["angvel"]),
+        t(joint_vels), t(b["crashes"]), 1.0, t(b["act"]), t(b["pact"]), {})
+    our_reward, our_crashes = V._morphy_reward(
+        jnp.asarray(b["pos_err"]), jnp.asarray(b["quats"]),
+        jnp.asarray(b["angvel"]), jnp.asarray(joint_vels),
+        jnp.asarray(b["crashes"]), jnp.asarray(b["act"]),
+        jnp.asarray(b["pact"]))
+    np.testing.assert_allclose(np.asarray(our_reward), ref_reward.numpy(),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(our_crashes), ref_crashes.numpy())
