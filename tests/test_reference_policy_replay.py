@@ -33,6 +33,10 @@ CASES = [
     ("vel_control_lmf2_direct.pth", "position_setpoint_task_sim2real", 1.2),
     ("acc_command_2_multiplier_disturbance.pth",
      "position_setpoint_task_acceleration_sim2real", 1.5),
+    # consumes the 16 joint states -> validates the articulated (morphy
+    # flexible-arm) dynamics representation, not just the rigid body
+    ("morphy_policy_for_flexible_airframe_joint_aware.pth",
+     "position_setpoint_task_morphy", 0.6),
 ]
 
 
