@@ -116,8 +116,10 @@ def AccelerationSim2RealConfig() -> VariantTaskConfig:
 
 
 def EndToEndConfig() -> VariantTaskConfig:
+    # seed 56: the reference's active (EVAL=False) training config,
+    # position_setpoint_task_sim2real_end_to_end_config.py:7
     return VariantTaskConfig(
-        variant="end_to_end", robot_name="tinyprop",
+        variant="end_to_end", seed=56, robot_name="tinyprop",
         controller_name="no_control", num_envs=4096,
         observation_space_dim=15, action_space_dim=4, episode_len_steps=600,
         crash_dist=1.5,
@@ -125,8 +127,9 @@ def EndToEndConfig() -> VariantTaskConfig:
 
 
 def Px4Config() -> VariantTaskConfig:
+    # seed 56: reference position_setpoint_task_sim2real_px4_config.py:7
     return VariantTaskConfig(
-        variant="px4", robot_name="x500", controller_name="no_control",
+        variant="px4", seed=56, robot_name="x500", controller_name="no_control",
         num_envs=24, observation_space_dim=15, action_space_dim=4,
         episode_len_steps=500, crash_dist=6.5,
         action_limit_min=(0.0,) * 4, action_limit_max=(8.0,) * 4)
