@@ -10,6 +10,9 @@ Checkpoint -> onboard inference chain:
      (sample_factory_inference.py:98-110)
   4. ``ros_node`` streams odometry -> observation -> action when rospy is
      available (reference sample_factory_ros_node.py)
+  5. alternatively ``convert_model_to_script_model`` re-packs the .npz into
+     a scripted TorchScript .pt for LibTorch-only onboard stacks (reference
+     end_to_end_training/deployment/convert_model.py)
 
 Migration from the reference framework: ``import_rl_games_policy`` /
 ``import_sample_factory_policy`` convert the reference's shipped torch
@@ -23,6 +26,7 @@ from .nn_inference_class import Sim2RealInferenceClass
 from .sample_factory_inference import RL_Nav_Interface
 from .torch_import import (NumpyRecurrentPolicy, import_rl_games_policy,
                            import_sample_factory_policy)
+from .torch_export import convert_model_to_script_model
 
 __all__ = [
     "NumpyPolicy",
@@ -33,4 +37,5 @@ __all__ = [
     "NumpyRecurrentPolicy",
     "import_rl_games_policy",
     "import_sample_factory_policy",
+    "convert_model_to_script_model",
 ]

@@ -68,6 +68,73 @@ def test_numpy_recurrent_export_matches_jax(tmp_path):
         dones = (rng.rand(5) < 0.3).astype(np.float32)
 
 
+def test_torchscript_export_matches_numpy_policy(tmp_path):
+    """convert_model_to_script_model produces a self-contained scripted
+    module whose outputs match NumpyPolicy, and whose rescale_actions
+    matches the reference's convert_model.py mapping."""
+    torch = pytest.importorskip("torch")
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from aerial_gym_simulator_tpu.sim2real import (
+        NumpyPolicy, convert_model_to_script_model, export_policy_npz)
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                      seed=0)
+    trainer = PPOTrainer(task, PPOConfig(num_envs=8, horizon=4,
+                                         minibatch_size=32, seed=0))
+    ckpt = str(tmp_path / "p.ckpt")
+    trainer.save_checkpoint(ckpt)
+    npz = str(tmp_path / "p.npz")
+    export_policy_npz(ckpt, npz)
+    pt = convert_model_to_script_model(npz, str(tmp_path / "p.pt"),
+                                       action_limit_min=[0.2] * 4,
+                                       action_limit_max=[1.2] * 4)
+    m = torch.jit.load(pt)
+    obs = np.random.RandomState(3).randn(5, 13).astype(np.float32)
+    a_script = m(torch.from_numpy(obs.copy())).detach().numpy()
+    a_np = NumpyPolicy(npz)(obs)
+    np.testing.assert_allclose(a_script, a_np, atol=1e-5)
+    # rescale: 0 -> mid-range, +/-1 -> limits (convert_model.py:29-33)
+    r = m.rescale_actions(torch.tensor([[0.0, 1.0, -1.0, 0.0]])).numpy()[0]
+    np.testing.assert_allclose(r, [0.7, 1.2, 0.2, 0.7], atol=1e-6)
+
+
+def test_torchscript_export_recurrent_matches_numpy_policy(tmp_path):
+    """Recurrent (GRU) archives script to an explicit-hidden-state module
+    that tracks NumpyRecurrentPolicy across steps and resets."""
+    torch = pytest.importorskip("torch")
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+    from aerial_gym_simulator_tpu.sim2real import (
+        convert_model_to_script_model, export_policy_npz, load_policy_npz)
+
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                      seed=0)
+    trainer = PPOTrainer(task, PPOConfig(num_envs=8, horizon=4,
+                                         minibatch_size=32, seed=0,
+                                         rnn="gru", rnn_hidden=16,
+                                         hidden=(32, 16)))
+    ckpt = str(tmp_path / "g.ckpt")
+    trainer.save_checkpoint(ckpt)
+    npz = str(tmp_path / "g.npz")
+    export_policy_npz(ckpt, npz)
+    pt = convert_model_to_script_model(npz, str(tmp_path / "g.pt"))
+    m = torch.jit.load(pt)
+    ref_policy = load_policy_npz(npz, num_envs=5)
+
+    rng = np.random.RandomState(7)
+    h = m.initial_state(5)
+    for t in range(6):
+        obs = rng.randn(5, 13).astype(np.float32)
+        a_script, h = m(torch.from_numpy(obs.copy()), h)
+        a_np = ref_policy(obs)
+        np.testing.assert_allclose(a_script.detach().numpy(), a_np,
+                                   atol=1e-5, err_msg=f"step {t}")
+        # zero a random env's hidden like an episode reset
+        if t == 2:
+            ref_policy.reset([1])
+            h = h.clone()
+            h[1] = 0.0
+
+
 def test_sim2real_inference_class(tmp_path):
     from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
     from aerial_gym_simulator_tpu.sim2real import Sim2RealInferenceClass
