@@ -1,0 +1,245 @@
+"""Population training: K independent PPO learners in ONE compiled program.
+
+Beyond-the-reference, TPU-first capability. The fused train step
+(rl/ppo.py make_train_step) is a pure function
+``(ts, env_carry, obs, key, norm) -> (ts, env_carry, obs, key, norm, m)``,
+so an entire population of policies — each with its own network params,
+optimizer state, adaptive learning rate, observation normalizer, PRNG
+stream and environment batch — is just ``jax.vmap`` over a leading seed
+axis. XLA compiles the whole population into one program; on a multi-chip
+mesh the population axis shards across devices with ZERO collectives
+(members are independent), so K chips train K members at single-member
+speed.
+
+Use cases the reference stack (one rl-games/sample-factory process per
+seed) cannot express:
+  * seed sweeps for variance bars in one run,
+  * learning-rate populations (per-member initial lr; the adaptive-KL
+    scheduler then evolves each member independently),
+  * pick-best-and-deploy: any member exports as a standard checkpoint
+    compatible with the sim2real deployment chain.
+
+CLI::
+
+    python -m aerial_gym_simulator_tpu.rl.population \
+        --task position_setpoint_task --num_envs 1024 --num_seeds 8 \
+        --total_steps 2000000 [--multichip] [--lr_sweep 1e-4 1e-3]
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training.train_state import TrainState
+
+from ..utils.logging import CustomLogger
+from .ppo import (PPOConfig, RunningMeanStd, make_train_step,
+                  make_train_step_rnn)
+
+logger = CustomLogger("population")
+
+
+def _tree_stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def _tree_index(tree, i):
+    return jax.tree_util.tree_map(lambda x: x[i], tree)
+
+
+class PopulationTrainer:
+    """K-member PPO population over one vmapped+jitted train step.
+
+    task_factory(seed) must build a fresh task instance (e.g.
+    ``lambda s: ag.task_registry.make_task(name, num_envs=N, seed=s)``).
+    Each member gets its own env batch seeded by its member seed, exactly
+    as a standalone ``PPOTrainer(task_factory(s), PPOConfig(seed=s))``
+    would — member i of the population reproduces that standalone run
+    bit-for-bit (tests/test_population.py).
+
+    member_lrs: optional per-member INITIAL learning rates (requires
+    cfg.lr_schedule == "adaptive", where the lr lives in optimizer state).
+    """
+
+    def __init__(self, task_factory: Callable[[int], object], cfg: PPOConfig,
+                 num_seeds: int, seeds: Optional[Sequence[int]] = None,
+                 member_lrs: Optional[Sequence[float]] = None):
+        from .ppo import PPOTrainer  # reuse the single-member constructor
+
+        self.cfg = cfg
+        self.seeds = (list(seeds) if seeds is not None
+                      else [cfg.seed + i for i in range(num_seeds)])
+        if len(self.seeds) != num_seeds:
+            raise ValueError("len(seeds) != num_seeds")
+        if member_lrs is not None:
+            if cfg.lr_schedule != "adaptive":
+                raise ValueError(
+                    "member_lrs needs lr_schedule='adaptive' (per-member lr "
+                    "lives in the optimizer state; a 'fixed' lr is baked "
+                    "into the compiled update)")
+            if len(member_lrs) != num_seeds:
+                raise ValueError("len(member_lrs) != num_seeds")
+        self.num_seeds = num_seeds
+
+        # build each member exactly like a standalone PPOTrainer so the
+        # population is bit-identical to K separate runs
+        members = []
+        for s in self.seeds:
+            import dataclasses
+            mcfg = dataclasses.replace(cfg, seed=s)
+            members.append(PPOTrainer(task_factory(s), mcfg))
+        m0 = members[0]
+        self.task = m0.task              # step fn / params identical members
+        self.network = m0.network
+        self.train_step_fn = m0.train_step_fn
+
+        tx = m0.train_state.tx
+        params = _tree_stack([m.train_state.params for m in members])
+        opt_state = jax.vmap(tx.init)(params)
+        if member_lrs is not None:
+            lrs = jnp.asarray(member_lrs, jnp.float32)
+            opt_state = opt_state._replace(
+                hyperparams={**opt_state.hyperparams, "learning_rate": lrs})
+        self.train_state = TrainState(
+            step=jnp.zeros((num_seeds,), jnp.int32),
+            apply_fn=m0.train_state.apply_fn, params=params, tx=tx,
+            opt_state=opt_state)
+        self.norm = _tree_stack([m.norm for m in members])
+        self.key = jnp.stack([m.key for m in members])
+        self.env_carry = _tree_stack([m.env_carry for m in members])
+        self.obs = _tree_stack([m.obs for m in members])
+
+        self._train_step = jax.jit(jax.vmap(self.train_step_fn),
+                                   donate_argnums=(1,))
+        self.last_metrics = None
+
+    # ---- multi-chip: shard the POPULATION axis (zero collectives) --------
+    def shard(self, n_devices: Optional[int] = None):
+        """Place every member on its own mesh slice. Members are
+        independent, so the compiled program has no cross-device
+        communication at all — K devices run K members at single-member
+        speed (the embarrassing-parallel limit of scaling efficiency)."""
+        from ..parallel import mesh as meshlib
+        m = meshlib.make_mesh(n_devices)
+        n_dev = len(m.devices.flatten())
+        if self.num_seeds % n_dev:
+            raise ValueError(f"num_seeds {self.num_seeds} must be a "
+                             f"multiple of the device count {n_dev}")
+        for name in ("train_state", "norm", "key", "env_carry", "obs"):
+            setattr(self, name, meshlib.shard_env_pytree(
+                getattr(self, name), m, self.num_seeds))
+        logger.info(f"population sharded over {n_dev} devices "
+                    f"({self.num_seeds // n_dev} members/device)")
+        return m
+
+    def train(self, total_env_steps: Optional[int] = None,
+              log_every: int = 10):
+        cfg = self.cfg
+        total = total_env_steps or cfg.total_env_steps
+        steps_per_iter = cfg.num_envs * cfg.horizon  # per member
+        iters = max(total // steps_per_iter, 1)
+        history = []
+        t_start = time.perf_counter()
+        for it in range(iters):
+            (self.train_state, self.env_carry, self.obs, self.key, self.norm,
+             metrics) = self._train_step(self.train_state, self.env_carry,
+                                         self.obs, self.key, self.norm)
+            if it % log_every == 0 or it == iters - 1:
+                m = {k: np.asarray(v) for k, v in metrics.items()}
+                m["iter"] = it
+                m["env_steps"] = (it + 1) * steps_per_iter
+                m["wall_s"] = time.perf_counter() - t_start
+                history.append(m)
+                r = m["reward_mean"]
+                logger.info(
+                    f"it {it:4d} steps/member {m['env_steps']:.2e} "
+                    f"reward best {r.max():7.3f} / mean {r.mean():7.3f} / "
+                    f"worst {r.min():7.3f} "
+                    f"sps(all) {self.num_seeds * m['env_steps'] / m['wall_s']:.0f}")
+        self.last_metrics = history[-1] if history else None
+        return history
+
+    def best_member(self, metric: str = "reward_mean") -> int:
+        if self.last_metrics is None:
+            raise RuntimeError("train() first")
+        return int(np.argmax(self.last_metrics[metric]))
+
+    def member_checkpoint(self, i: int, path: str):
+        """Export member i as a standard PPOTrainer checkpoint — compatible
+        with load_checkpoint, export_policy_npz and the whole deployment
+        chain (pick-best-and-deploy)."""
+        import pickle
+
+        from flax import serialization
+
+        params_i = _tree_index(self.train_state.params, i)
+        norm_i = {k: np.asarray(v[i]) for k, v in self.norm.items()}
+        cfg_dict = dict(self.cfg.__dict__)
+        cfg_dict["seed"] = self.seeds[i]
+        with open(path, "wb") as f:
+            pickle.dump({
+                "params": serialization.to_bytes(params_i),
+                "norm": norm_i,
+                "cfg": cfg_dict,
+                "obs_dim": int(self.task.task_config.observation_space_dim),
+                "action_dim": int(self.task.task_config.action_space_dim),
+            }, f)
+        logger.info(f"member {i} (seed {self.seeds[i]}) saved to {path}")
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="position_setpoint_task")
+    p.add_argument("--num_envs", type=int, default=1024,
+                   help="envs PER MEMBER")
+    p.add_argument("--num_seeds", type=int, default=8)
+    p.add_argument("--total_steps", type=int, default=2_000_000,
+                   help="env steps per member")
+    p.add_argument("--horizon", type=int, default=32)
+    p.add_argument("--seed", type=int, default=42,
+                   help="first member seed (members use seed..seed+K-1)")
+    p.add_argument("--lr_sweep", type=float, nargs=2, default=None,
+                   metavar=("LO", "HI"),
+                   help="log-spaced per-member initial learning rates")
+    p.add_argument("--multichip", action="store_true",
+                   help="shard the population axis over all devices")
+    p.add_argument("--save_best", default=None,
+                   help="write the best member's checkpoint here")
+    args = p.parse_args()
+
+    import aerial_gym_simulator_tpu as ag
+    from .ppo import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
+                    minibatch_size=min(8192, args.num_envs * args.horizon),
+                    total_env_steps=args.total_steps, seed=args.seed)
+    lrs = None
+    if args.lr_sweep:
+        lrs = list(np.geomspace(args.lr_sweep[0], args.lr_sweep[1],
+                                args.num_seeds).astype(np.float32))
+        logger.info(f"lr population: {lrs}")
+    pop = PopulationTrainer(
+        lambda s: ag.task_registry.make_task(args.task,
+                                             num_envs=args.num_envs, seed=s),
+        cfg, num_seeds=args.num_seeds, member_lrs=lrs)
+    if args.multichip:
+        pop.shard()
+    pop.train()
+    best = pop.best_member()
+    r = pop.last_metrics["reward_mean"]
+    print(f"best member: {best} (seed {pop.seeds[best]}) "
+          f"reward {r[best]:.3f}; population rewards: "
+          f"{np.array2string(r, precision=3)}")
+    if args.save_best:
+        pop.member_checkpoint(best, args.save_best)
+
+
+if __name__ == "__main__":
+    main()
