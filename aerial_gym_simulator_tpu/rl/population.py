@@ -136,18 +136,73 @@ class PopulationTrainer:
                     f"({self.num_seeds // n_dev} members/device)")
         return m
 
+    # ---- PBT: exploit/explore between vmapped train iterations -----------
+    def _pbt_step(self, rewards: np.ndarray, rng: np.random.Generator,
+                  fraction: float = 0.25,
+                  lr_perturb: Sequence[float] = (0.8, 1.25)):
+        """One population-based-training step (Jaderberg et al. 2017,
+        "Population Based Training of Neural Networks",
+        arXiv:1711.09846): each bottom-`fraction` member copies the learner state
+        (params, optimizer, obs/value normalizer) of a random
+        top-`fraction` member, then perturbs its learning rate by a random
+        factor from `lr_perturb` — exploit + explore. Env state and PRNG
+        stream stay the member's own. Requires lr_schedule='adaptive'
+        (the lr must live in optimizer state to be perturbable)."""
+        K = self.num_seeds
+        q = max(int(round(K * fraction)), 1)
+        order = np.argsort(rewards)           # ascending
+        losers, winners = order[:q], order[K - q:]
+        events = []
+        for dst in losers:
+            src = int(rng.choice(winners))
+            dst = int(dst)
+            copy_at = lambda x: x.at[dst].set(x[src])
+            self.train_state = self.train_state.replace(
+                params=jax.tree_util.tree_map(copy_at,
+                                              self.train_state.params),
+                opt_state=jax.tree_util.tree_map(copy_at,
+                                                 self.train_state.opt_state))
+            self.norm = jax.tree_util.tree_map(copy_at, self.norm)
+            if self.cfg.lr_schedule == "adaptive":
+                factor = float(rng.choice(lr_perturb))
+                hp = self.train_state.opt_state.hyperparams
+                lr = hp["learning_rate"]
+                lr = lr.at[dst].set(jnp.clip(lr[dst] * factor,
+                                             self.cfg.min_lr,
+                                             self.cfg.max_lr))
+                self.train_state = self.train_state.replace(
+                    opt_state=self.train_state.opt_state._replace(
+                        hyperparams={**hp, "learning_rate": lr}))
+                events.append((dst, src, factor))
+            else:
+                events.append((dst, src, 1.0))
+        return events
+
     def train(self, total_env_steps: Optional[int] = None,
-              log_every: int = 10):
+              log_every: int = 10, pbt_every: int = 0,
+              pbt_fraction: float = 0.25):
+        """pbt_every > 0 enables population-based training: every
+        `pbt_every` iterations the bottom pbt_fraction of members exploit
+        (copy a top member's learner state) and explore (perturb lr)."""
         cfg = self.cfg
         total = total_env_steps or cfg.total_env_steps
         steps_per_iter = cfg.num_envs * cfg.horizon  # per member
         iters = max(total // steps_per_iter, 1)
         history = []
+        pbt_rng = np.random.default_rng(cfg.seed)
         t_start = time.perf_counter()
         for it in range(iters):
             (self.train_state, self.env_carry, self.obs, self.key, self.norm,
              metrics) = self._train_step(self.train_state, self.env_carry,
                                          self.obs, self.key, self.norm)
+            if pbt_every and (it + 1) % pbt_every == 0 and it != iters - 1:
+                rewards = np.asarray(metrics["reward_mean"])
+                for dst, src, f in self._pbt_step(rewards, pbt_rng,
+                                                  pbt_fraction):
+                    logger.info(f"pbt it {it}: member {dst} "
+                                f"(reward {rewards[dst]:.3f}) <- member "
+                                f"{src} (reward {rewards[src]:.3f}), "
+                                f"lr x{f}")
             if it % log_every == 0 or it == iters - 1:
                 m = {k: np.asarray(v) for k, v in metrics.items()}
                 m["iter"] = it
@@ -211,6 +266,10 @@ def main():
                    help="shard the population axis over all devices")
     p.add_argument("--save_best", default=None,
                    help="write the best member's checkpoint here")
+    p.add_argument("--pbt_every", type=int, default=0,
+                   help="population-based training: exploit/explore every "
+                        "N iterations (0 = plain population)")
+    p.add_argument("--pbt_fraction", type=float, default=0.25)
     args = p.parse_args()
 
     import aerial_gym_simulator_tpu as ag
@@ -231,7 +290,7 @@ def main():
         cfg, num_seeds=args.num_seeds, member_lrs=lrs)
     if args.multichip:
         pop.shard()
-    pop.train()
+    pop.train(pbt_every=args.pbt_every, pbt_fraction=args.pbt_fraction)
     best = pop.best_member()
     r = pop.last_metrics["reward_mean"]
     print(f"best member: {best} (seed {pop.seeds[best]}) "

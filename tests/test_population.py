@@ -75,6 +75,42 @@ def test_population_member_lrs_and_best_checkpoint(tmp_path):
     np.testing.assert_allclose(a_solo, np.asarray(mean), atol=1e-6)
 
 
+def test_pbt_step_exploits_and_explores():
+    """The PBT exploit/explore: the worst member takes on the best member's
+    learner state; its lr is perturbed within [min_lr, max_lr]; env state
+    and PRNG stream stay its own."""
+    cfg = PPOConfig(**CFG)
+    pop = PopulationTrainer(_factory, cfg, num_seeds=2,
+                            member_lrs=[2e-4, 8e-4])
+    key_before = np.asarray(pop.key)
+    carry_leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(pop.env_carry)[0])
+    events = pop._pbt_step(np.array([1.0, 0.0]),
+                           np.random.default_rng(0))  # member 1 is worst
+    assert events and events[0][:2] == (1, 0)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x[0]),
+                                pop.train_state.params)
+    p1 = jax.tree_util.tree_map(lambda x: np.asarray(x[1]),
+                                pop.train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p0, p1)
+    lrs = np.asarray(pop.train_state.opt_state.hyperparams["learning_rate"])
+    assert lrs[0] == pytest.approx(2e-4)           # winner untouched
+    assert lrs[1] == pytest.approx(2e-4 * events[0][2])  # copied + perturbed
+    np.testing.assert_array_equal(np.asarray(pop.key), key_before)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(pop.env_carry)[0]),
+        carry_leaf_before)
+    # training continues after a pbt step (state still vmappable)
+    pop.train(total_env_steps=8 * 4, log_every=1)
+
+
+def test_population_train_with_pbt_runs():
+    cfg = PPOConfig(**CFG)
+    pop = PopulationTrainer(_factory, cfg, num_seeds=2)
+    hist = pop.train(total_env_steps=3 * 8 * 4, log_every=1, pbt_every=1)
+    assert np.isfinite(hist[-1]["reward_mean"]).all()
+
+
 def test_population_member_lrs_require_adaptive_schedule():
     cfg = PPOConfig(**CFG, lr_schedule="fixed")
     with pytest.raises(ValueError, match="adaptive"):
