@@ -37,8 +37,7 @@ import numpy as np
 from flax.training.train_state import TrainState
 
 from ..utils.logging import CustomLogger
-from .ppo import (PPOConfig, RunningMeanStd, make_train_step,
-                  make_train_step_rnn)
+from .ppo import PPOConfig
 
 logger = CustomLogger("population")
 
@@ -93,8 +92,28 @@ class PopulationTrainer:
             mcfg = dataclasses.replace(cfg, seed=s)
             members.append(PPOTrainer(task_factory(s), mcfg))
         m0 = members[0]
-        self.task = m0.task              # step fn / params identical members
+        self.task = m0.task
         self.network = m0.network
+        # every member runs member 0's compiled step closure, which
+        # captures that task's SimParams — valid only when the task params
+        # do not depend on the seed (true for the whole catalog: seeds
+        # randomize STATE, params come from the config). Guard it: a
+        # custom task with seed-dependent params must not silently train
+        # K-1 members on member 0's dynamics.
+        p0 = getattr(m0.task, "params", None)
+        if p0 is not None:
+            for m, s in zip(members[1:], self.seeds[1:]):
+                same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+                    lambda a, b: bool(np.array_equal(np.asarray(a),
+                                                     np.asarray(b))),
+                    p0, getattr(m.task, "params", None)))
+                if not same:
+                    raise ValueError(
+                        f"task_factory({s}) built different SimParams than "
+                        f"task_factory({self.seeds[0]}): the population "
+                        f"shares one step function, so task params must be "
+                        f"seed-independent (seed-dependent randomization "
+                        f"belongs in the state/reset path)")
         self.train_step_fn = m0.train_step_fn
 
         tx = m0.train_state.tx
@@ -148,8 +167,18 @@ class PopulationTrainer:
         factor from `lr_perturb` — exploit + explore. Env state and PRNG
         stream stay the member's own. Requires lr_schedule='adaptive'
         (the lr must live in optimizer state to be perturbable)."""
+        if self.cfg.lr_schedule != "adaptive":
+            raise ValueError(
+                "PBT needs lr_schedule='adaptive': with 'fixed' the lr is "
+                "baked into the compiled update and the explore step "
+                "cannot perturb it")
+        if not 0.0 < fraction <= 0.5:
+            raise ValueError(f"pbt fraction must be in (0, 0.5] so winners "
+                             f"and losers cannot overlap (got {fraction})")
         K = self.num_seeds
-        q = max(int(round(K * fraction)), 1)
+        q = min(max(int(round(K * fraction)), 1), K // 2)
+        if q < 1:
+            raise ValueError(f"population of {K} is too small for PBT")
         order = np.argsort(rewards)           # ascending
         losers, winners = order[:q], order[K - q:]
         events = []
@@ -163,19 +192,15 @@ class PopulationTrainer:
                 opt_state=jax.tree_util.tree_map(copy_at,
                                                  self.train_state.opt_state))
             self.norm = jax.tree_util.tree_map(copy_at, self.norm)
-            if self.cfg.lr_schedule == "adaptive":
-                factor = float(rng.choice(lr_perturb))
-                hp = self.train_state.opt_state.hyperparams
-                lr = hp["learning_rate"]
-                lr = lr.at[dst].set(jnp.clip(lr[dst] * factor,
-                                             self.cfg.min_lr,
-                                             self.cfg.max_lr))
-                self.train_state = self.train_state.replace(
-                    opt_state=self.train_state.opt_state._replace(
-                        hyperparams={**hp, "learning_rate": lr}))
-                events.append((dst, src, factor))
-            else:
-                events.append((dst, src, 1.0))
+            factor = float(rng.choice(lr_perturb))
+            hp = self.train_state.opt_state.hyperparams
+            lr = hp["learning_rate"]
+            lr = lr.at[dst].set(jnp.clip(lr[dst] * factor,
+                                         self.cfg.min_lr, self.cfg.max_lr))
+            self.train_state = self.train_state.replace(
+                opt_state=self.train_state.opt_state._replace(
+                    hyperparams={**hp, "learning_rate": lr}))
+            events.append((dst, src, factor))
         return events
 
     def train(self, total_env_steps: Optional[int] = None,

@@ -26,7 +26,17 @@ from .nn_inference_class import Sim2RealInferenceClass
 from .sample_factory_inference import RL_Nav_Interface
 from .torch_import import (NumpyRecurrentPolicy, import_rl_games_policy,
                            import_sample_factory_policy)
-from .torch_export import convert_model_to_script_model
+
+
+def __getattr__(name):
+    # lazy: torch_export imports torch at module scope; keep the numpy-only
+    # onboard import path (`from ...sim2real import NumpyPolicy`) free of
+    # torch initialization
+    if name == "convert_model_to_script_model":
+        from .torch_export import convert_model_to_script_model
+        return convert_model_to_script_model
+    raise AttributeError(name)
+
 
 __all__ = [
     "NumpyPolicy",

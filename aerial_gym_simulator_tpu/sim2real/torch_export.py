@@ -155,25 +155,46 @@ if torch is not None:
 
 def build_deploy_module(npz_path: str,
                         action_limit_min: Optional[Sequence[float]] = None,
-                        action_limit_max: Optional[Sequence[float]] = None):
-    """Build the (unscripted) torch deployment module from a .npz archive."""
+                        action_limit_max: Optional[Sequence[float]] = None,
+                        action_dim: Optional[int] = None):
+    """Build the (unscripted) torch deployment module from a .npz archive.
+
+    Accepts every archive layout the numpy runners accept: natively
+    exported MLP/GRU (export_policy_npz), imported rl-games
+    (import_rl_games_policy) and imported sample-factory archives —
+    including feed-forward ones (recurrent=False with an enc_W*/head
+    layout, run with an identity core by NumpyRecurrentPolicy) and
+    mu-only heads (adaptive_stddev=False; pass action_dim to disambiguate,
+    same contract as load_policy_npz).
+    """
     _require_torch()
     data = np.load(npz_path, allow_pickle=True)
-    activation = str(data["activation"])
+    # imported sample-factory archives carry no activation key; their
+    # encoder nonlinearity is elu (torch_import.py archive convention)
+    activation = (str(data["activation"]) if "activation" in data.files
+                  else "elu")
     normalize_obs = bool(data["normalize_obs"])
     norm_mean = data["norm_mean"].astype(np.float32)
     norm_var = data["norm_var"].astype(np.float32)
-    norm_eps = float(data["norm_eps"]) if "norm_eps" in data else 1e-8
-    recurrent = ("recurrent" in data.files and bool(data["recurrent"])) \
-        or "n_enc" in data.files
+    # normalizer epsilon is format-dependent (same rule as the numpy
+    # runners): our exports carry norm_eps explicitly; imported
+    # sample-factory archives (no key) use rl-games/sf's 1e-5
+    norm_eps = (float(data["norm_eps"]) if "norm_eps" in data.files
+                else 1e-5)
+    gru_style = "n_enc" in data.files
+    recurrent = gru_style and "gru_Wih" in data.files and (
+        "recurrent" not in data.files or bool(data["recurrent"]))
 
-    if recurrent:
+    if gru_style:
         n_enc = int(data["n_enc"])
         enc = [(data[f"enc_W{i}"].astype(np.float32),
                 data[f"enc_b{i}"].astype(np.float32)) for i in range(n_enc)]
         head_W = data["head_W"].astype(np.float32)
+        head_b = data["head_b"].astype(np.float32)
         if "action_dim" in data.files:
             act_dim = int(data["action_dim"])
+        elif action_dim is not None:
+            act_dim = int(action_dim)
         else:  # [mu, log_std] convention: mu is the first half
             act_dim = head_W.shape[1] // 2
     else:
@@ -185,6 +206,9 @@ def build_deploy_module(npz_path: str,
             i += 1
         act_dim = layers[-1][0].shape[1]
 
+    if (action_limit_min is None) != (action_limit_max is None):
+        raise ValueError("pass BOTH action_limit_min and action_limit_max "
+                         "(or neither for the default [-1, 1] pass-through)")
     if action_limit_min is None:
         min_u = -np.ones(act_dim, np.float32)
         max_u = np.ones(act_dim, np.float32)
@@ -199,8 +223,13 @@ def build_deploy_module(npz_path: str,
             data["gru_Whh"].astype(np.float32),
             data["gru_bih"].astype(np.float32),
             data["gru_bhh"].astype(np.float32),
-            head_W, data["head_b"].astype(np.float32), act_dim,
+            head_W, head_b, act_dim,
             norm_mean, norm_var, norm_eps, normalize_obs, min_u, max_u)
+    if gru_style:
+        # feed-forward sample-factory archive (no GRU core): encoder MLP
+        # straight into the mu head — the identity-core case
+        # NumpyRecurrentPolicy handles at run time (torch_import.py)
+        layers = enc + [(head_W[:, :act_dim], head_b[:act_dim])]
     return PolicyDeploy(layers, activation, norm_mean, norm_var, norm_eps,
                         normalize_obs, min_u, max_u)
 
@@ -208,7 +237,8 @@ def build_deploy_module(npz_path: str,
 def convert_model_to_script_model(
         npz_path: str, out_path: str,
         action_limit_min: Optional[Sequence[float]] = None,
-        action_limit_max: Optional[Sequence[float]] = None) -> str:
+        action_limit_max: Optional[Sequence[float]] = None,
+        action_dim: Optional[int] = None) -> str:
     """npz deployment archive -> scripted .pt file (reference
     convert_model.py:42-62's ``torch.jit.script`` + ``torch.jit.save``).
 
@@ -218,7 +248,8 @@ def convert_model_to_script_model(
     [-1, 1] policy outputs onto the given actuator limits.
     """
     _require_torch()
-    module = build_deploy_module(npz_path, action_limit_min, action_limit_max)
+    module = build_deploy_module(npz_path, action_limit_min,
+                                 action_limit_max, action_dim)
     module.eval()
     scripted = torch.jit.script(module)
     torch.jit.save(scripted, out_path)

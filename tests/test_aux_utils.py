@@ -356,6 +356,66 @@ def test_import_sample_factory_policy_matches_torch_gru(tmp_path):
     np.testing.assert_allclose(pol(obs)[1], fresh(obs)[1], atol=2e-5)
 
 
+def test_torchscript_export_imported_rl_games_archive(tmp_path):
+    """The TorchScript exporter accepts rl-games-imported archives (W*
+    layout, norm_eps=1e-5) and matches the validated NumpyPolicy."""
+    import torch
+    from aerial_gym_simulator_tpu.sim2real import (NumpyPolicy,
+                                                   import_rl_games_policy)
+    from aerial_gym_simulator_tpu.sim2real.torch_export import (
+        convert_model_to_script_model)
+
+    pth = str(tmp_path / "p.pth"); npz = str(tmp_path / "p.npz")
+    _make_rl_games_ckpt(pth)
+    import_rl_games_policy(pth, npz)
+    pt = convert_model_to_script_model(npz, str(tmp_path / "p.pt"))
+    m = torch.jit.load(pt)
+    x = np.random.RandomState(1).randn(6, 13).astype(np.float32)
+    np.testing.assert_allclose(m(torch.from_numpy(x.copy())).detach().numpy(),
+                               NumpyPolicy(npz)(x), atol=1e-5, rtol=1e-5)
+    # limits must come in pairs
+    with pytest.raises(ValueError, match="BOTH"):
+        convert_model_to_script_model(npz, str(tmp_path / "q.pt"),
+                                      action_limit_min=[0.0] * 4)
+
+
+def test_torchscript_export_imported_sample_factory_gru(tmp_path):
+    """The TorchScript exporter accepts sample-factory-imported recurrent
+    archives and tracks NumpyRecurrentPolicy across carried steps."""
+    import torch
+    from aerial_gym_simulator_tpu.sim2real import (
+        NumpyRecurrentPolicy, import_sample_factory_policy)
+    from aerial_gym_simulator_tpu.sim2real.torch_export import (
+        convert_model_to_script_model)
+
+    obs_dim, hid, act = 9, 8, 4
+    g = torch.Generator().manual_seed(6)
+    sd = {
+        "encoder.encoders.obs.mlp_head.0.weight": torch.randn(hid, obs_dim, generator=g),
+        "encoder.encoders.obs.mlp_head.0.bias": torch.randn(hid, generator=g),
+        "core.core.weight_ih_l0": torch.randn(3 * hid, hid, generator=g),
+        "core.core.weight_hh_l0": torch.randn(3 * hid, hid, generator=g),
+        "core.core.bias_ih_l0": torch.randn(3 * hid, generator=g),
+        "core.core.bias_hh_l0": torch.randn(3 * hid, generator=g),
+        "action_parameterization.distribution_linear.weight":
+            torch.randn(2 * act, hid, generator=g),
+        "action_parameterization.distribution_linear.bias":
+            torch.randn(2 * act, generator=g),
+    }
+    pth = str(tmp_path / "sf.pth"); npz = str(tmp_path / "sf.npz")
+    torch.save({"model": sd}, pth)
+    import_sample_factory_policy(pth, npz)
+    pol = NumpyRecurrentPolicy(npz, num_envs=3)
+    pt = convert_model_to_script_model(npz, str(tmp_path / "sf.pt"))
+    m = torch.jit.load(pt)
+    h = m.initial_state(3)
+    obs = np.random.RandomState(4).randn(3, obs_dim).astype(np.float32)
+    for step in range(3):
+        a_script, h = m(torch.from_numpy(obs.copy()), h)
+        np.testing.assert_allclose(a_script.detach().numpy(), pol(obs),
+                                   atol=2e-5, err_msg=f"step {step}")
+
+
 def test_sysid_fit_time_constants_recovers_tau():
     """sys_id --fit (reference motorid notebook workflow): recover the
     asymmetric first-order time constants from a synthetic step trace."""

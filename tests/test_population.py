@@ -117,6 +117,18 @@ def test_population_member_lrs_require_adaptive_schedule():
         PopulationTrainer(_factory, cfg, num_seeds=2, member_lrs=[1e-4, 1e-3])
 
 
+def test_pbt_validates_schedule_and_fraction():
+    cfg = PPOConfig(**CFG, lr_schedule="fixed")
+    pop = PopulationTrainer(_factory, cfg, num_seeds=2)
+    with pytest.raises(ValueError, match="adaptive"):
+        pop._pbt_step(np.array([1.0, 0.0]), np.random.default_rng(0))
+    cfg = PPOConfig(**CFG)
+    pop = PopulationTrainer(_factory, cfg, num_seeds=2)
+    with pytest.raises(ValueError, match="0.5"):
+        pop._pbt_step(np.array([1.0, 0.0]), np.random.default_rng(0),
+                      fraction=0.75)
+
+
 def test_population_shards_over_virtual_mesh():
     """Population axis sharded over the 8-device virtual mesh (conftest
     forces xla_force_host_platform_device_count=8): runs and stays finite;
