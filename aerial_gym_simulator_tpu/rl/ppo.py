@@ -915,6 +915,9 @@ def main():
                    help="recurrent policy core (GRU actor-critic; the "
                         "reference needs external sample-factory for this)")
     p.add_argument("--rnn_hidden", type=int, default=256)
+    p.add_argument("--save", default=None,
+                   help="write the final learner checkpoint (pickle, the "
+                        "load_checkpoint/export_policy_npz format) here")
     args = p.parse_args()
 
     # must run before ANY backend use — importing this package is kept free
@@ -947,6 +950,8 @@ def main():
     history = trainer.train(logdir=args.logdir, track=args.track,
                             ckpt_dir=args.ckpt_dir,
                             save_every=args.save_every, resume=args.resume)
+    if args.save:
+        trainer.save_checkpoint(args.save)
     if not history:
         print("nothing to train (resumed checkpoint already complete)")
         return
