@@ -51,6 +51,10 @@ def main(argv=None):
                         "(reference dce_rl_navigation / "
                         "collision_image_generator training recipe)")
     p.add_argument("--out", default="/tmp/depth_vae_params.pkl")
+    p.add_argument("--arch", choices=["conv", "vit"], default="conv",
+                   help="encoder architecture: the reference-parity conv "
+                        "VAE, or the ViT transformer encoder (models/vit; "
+                        "MXU-friendly, tensor-parallel shardable)")
     args = p.parse_args(argv)
 
     env = SimBuilder().build_env(
@@ -60,7 +64,11 @@ def main(argv=None):
     params_sim = env.params
     H, W = args.image_h, args.image_w
 
-    model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
+    if args.arch == "vit":
+        from .vit import DepthViT
+        model = DepthViT(latent_dim=args.latent_dim, out_hw=(H, W))
+    else:
+        model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
     key = jax.random.PRNGKey(args.seed)
     key, init_key = jax.random.split(key)
     vparams = model.init(init_key, jnp.zeros((1, H, W, 1)), init_key)
@@ -117,8 +125,16 @@ def main(argv=None):
                         f"wall {time.perf_counter() - t0:.1f}s")
 
     with open(args.out, "wb") as f:
-        pickle.dump(jax.device_get(vparams), f)
-    logger.info(f"saved VAE params to {args.out}")
+        if args.arch == "vit":
+            # arch-tagged (+ model hyperparameters) so the navigation task
+            # rebuilds the exact encoder skeleton
+            pickle.dump({"arch": "vit", "params": jax.device_get(vparams),
+                         "patch": tuple(model.patch), "dim": model.dim,
+                         "depth": model.depth,
+                         "num_heads": model.num_heads}, f)
+        else:
+            pickle.dump(jax.device_get(vparams), f)
+    logger.info(f"saved {args.arch} VAE params to {args.out}")
     return args.out
 
 

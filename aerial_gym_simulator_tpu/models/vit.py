@@ -1,0 +1,218 @@
+"""ViT depth encoder — transformer perception backbone (beyond-reference).
+
+The reference's only perception model is the ResNet8-style conv VAE
+(utils/vae/VAE.py); this module adds a Vision-Transformer alternative with
+the SAME training and inference contracts as models/vae.py, so it drops
+into the existing pipeline unchanged:
+
+  * :class:`DepthViT` mirrors ``DepthVAE`` (``__call__(x, key)`` /
+    ``encode`` / ``decode``) — train it with the existing ``vae_loss`` via
+    ``train_vae --arch vit``;
+  * :class:`ViTImageEncoder` mirrors ``VAEImageEncoder`` — the navigation
+    task uses it automatically when the params pickle carries
+    ``{"arch": "vit", ...}``.
+
+TPU-first: the patch embedding and attention/MLP matmuls are exactly the
+large batched GEMMs the MXU wants (the conv VAE is mostly small
+convolutions), and the parameters carry a documented TENSOR-PARALLEL
+sharding map (:func:`vit_tp_shardings`): attention heads and the MLP
+hidden dimension shard across the mesh, XLA inserting the all-reduces —
+the standard megatron-style TP layout expressed as pjit shardings
+(SURVEY.md section 5.7's "if a transformer is added" path, made concrete).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .vae import Decoder
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm()(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            name="attn")(y, y)
+        x = x + y
+        y = nn.LayerNorm()(x)
+        y = nn.Dense(self.mlp_ratio * self.dim, name="mlp_in")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="mlp_out")(y)
+        return x + y
+
+
+class ViTEncoder(nn.Module):
+    """Patchify -> transformer -> mean-pool -> (mean, logvar) latent head
+    (same output contract as models/vae.py Encoder)."""
+    latent_dim: int = 64
+    patch: Tuple[int, int] = (9, 16)
+    dim: int = 128
+    depth: int = 4
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, H, W, 1) in [0, 1]; H, W must be multiples of patch
+        x = nn.Conv(self.dim, self.patch, strides=self.patch,
+                    padding="VALID", name="patch_embed")(x)
+        B, h, w, d = x.shape
+        x = x.reshape(B, h * w, d)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, h * w, d))
+        x = x + pos
+        for i in range(self.depth):
+            x = TransformerBlock(self.dim, self.num_heads,
+                                 name=f"block_{i}")(x)
+        x = nn.LayerNorm()(x)
+        x = x.mean(axis=1)  # token mean-pool
+        out = nn.Dense(2 * self.latent_dim, name="latent_head")(x)
+        mean, logvar = jnp.split(out, 2, axis=-1)
+        return mean, jnp.clip(logvar, -10.0, 10.0)
+
+
+class DepthViT(nn.Module):
+    """ViT-encoder autoencoder with the conv decoder from models/vae.py —
+    API-compatible with DepthVAE so vae_loss / train_vae / the navigation
+    task work unchanged."""
+    latent_dim: int = 64
+    out_hw: Tuple[int, int] = (270, 480)
+    patch: Tuple[int, int] = (9, 16)
+    dim: int = 128
+    depth: int = 4
+    num_heads: int = 4
+
+    def setup(self):
+        self.encoder = ViTEncoder(self.latent_dim, self.patch, self.dim,
+                                  self.depth, self.num_heads)
+        self.decoder = Decoder(self.latent_dim, self.out_hw)
+
+    def __call__(self, x, key):
+        mean, logvar = self.encoder(x)
+        std = jnp.exp(0.5 * logvar)
+        z = mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+        recon = self.decoder(z)
+        return recon, mean, logvar
+
+    def encode(self, x):
+        return self.encoder(x)
+
+    def decode(self, z):
+        return self.decoder(z)
+
+
+def _vit_input_hw(image_res: Tuple[int, int],
+                  patch: Tuple[int, int]) -> Tuple[int, int]:
+    """Nearest patch-multiple resolution the encoder actually consumes."""
+    return (max(round(image_res[0] / patch[0]), 1) * patch[0],
+            max(round(image_res[1] / patch[1]), 1) * patch[1])
+
+
+class ViTImageEncoder:
+    """Frozen-weights inference wrapper — the ViT counterpart of
+    VAEImageEncoder (same encode() contract: resize, bf16 compute, f32
+    latents; the navigation task treats the two interchangeably)."""
+
+    def __init__(self, latent_dim: int = 64,
+                 image_res: Tuple[int, int] = (270, 480), params=None,
+                 return_sampled_latent: bool = True, seed: int = 0,
+                 compute_dtype=jnp.bfloat16, patch: Tuple[int, int] = (9, 16),
+                 dim: int = 128, depth: int = 4, num_heads: int = 4):
+        self.latent_dim = latent_dim
+        self.image_res = image_res
+        self.input_hw = _vit_input_hw(image_res, patch)
+        self.return_sampled_latent = return_sampled_latent
+        self.model = DepthViT(latent_dim=latent_dim, out_hw=image_res,
+                              patch=patch, dim=dim, depth=depth,
+                              num_heads=num_heads)
+        if params is None:
+            key = jax.random.PRNGKey(seed)
+            dummy = jnp.zeros((1,) + self.input_hw + (1,), jnp.float32)
+            params = self.model.init(key, dummy, key)
+        self.params = params
+        self.compute_dtype = compute_dtype
+
+        def cast_encoder(path, leaf):
+            in_encoder = any(getattr(k, "key", None) == "encoder"
+                             for k in path)
+            return leaf.astype(compute_dtype) if in_encoder else leaf
+
+        self._compute_params = jax.tree_util.tree_map_with_path(
+            cast_encoder, params)
+
+    def encode(self, images, key=None):
+        if images.ndim == 3:
+            images = images[..., None]
+        if images.shape[1:3] != self.input_hw:
+            images = jax.image.resize(
+                images, (images.shape[0],) + self.input_hw + (1,), "nearest")
+        images = images.astype(self.compute_dtype)
+        mean, logvar = self.model.apply(self._compute_params, images,
+                                        method=DepthViT.encode)
+        mean = mean.astype(jnp.float32)
+        logvar = logvar.astype(jnp.float32)
+        if self.return_sampled_latent and key is not None:
+            std = jnp.exp(0.5 * logvar)
+            return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+        return mean
+
+    def decode(self, latents):
+        return self.model.apply(self.params, latents, method=DepthViT.decode)
+
+    def get_latent_dims_size(self):
+        return self.latent_dim
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism: megatron-style shardings over a 1-D mesh
+# ---------------------------------------------------------------------------
+
+
+def vit_tp_shardings(params, mesh, axis: str = "env"):
+    """Return a pytree of NamedShardings implementing tensor parallelism
+    for the ViT encoder over `mesh`:
+
+      * attention q/k/v kernels (embed, heads, head_dim) shard on HEADS —
+        each device computes its own attention heads (no communication
+        inside attention);
+      * the attention output kernel (heads, head_dim, embed) contracts the
+        sharded heads axis -> XLA inserts the row-parallel all-reduce;
+      * MLP: mlp_in (embed, hidden) shards column-parallel on hidden,
+        mlp_out (hidden, embed) row-parallel -> one all-reduce per block;
+      * everything else (LayerNorms, patch embed, latent head, decoder)
+        replicated.
+
+    Apply with ``jax.device_put(params, vit_tp_shardings(params, mesh))``;
+    jit then propagates the layouts (tests/test_vit.py proves sharded ==
+    unsharded on the virtual 8-device mesh).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(path, leaf):
+        names = [str(getattr(k, "key", "")) for k in path]
+        joined = "/".join(names)
+        nd = np.ndim(leaf)
+        if "attn" in names:
+            if names[-2] in ("query", "key", "value") and nd == 3:
+                return P(None, axis, None)      # heads axis
+            if names[-2] == "out" and names[-1] == "kernel" and nd == 3:
+                return P(axis, None, None)      # contract sharded heads
+            return P()
+        if "mlp_in" in joined:
+            return P(None, axis) if nd == 2 else P(axis)
+        if "mlp_out" in joined and names[-1] == "kernel":
+            return P(axis, None)                # row-parallel
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, spec_for(path, leaf)), params)

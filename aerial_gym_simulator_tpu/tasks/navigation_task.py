@@ -336,16 +336,33 @@ class NavigationTask:
                 self.vae = TorchVAEImageEncoder(
                     cfg.torch_vae_path, latent_dim=cfg.latent_dim)
             else:
-                vae_params = None
+                vae_params, arch = None, "conv"
                 if cfg.vae_params_path:
                     import pickle
                     with open(cfg.vae_params_path, "rb") as f:
-                        vae_params = pickle.load(f)
-                self.vae = VAEImageEncoder(
-                    latent_dim=cfg.latent_dim,
-                    image_res=(self.params.camera.height,
-                               self.params.camera.width),
-                    params=vae_params, seed=cfg.seed)
+                        loaded = pickle.load(f)
+                    # train_vae --arch vit wraps params with an arch tag;
+                    # plain conv-VAE pickles are the raw params tree
+                    if isinstance(loaded, dict) and loaded.get("arch") == "vit":
+                        arch, vae_params = "vit", loaded["params"]
+                        vit_kw = {k: loaded[k] for k in
+                                  ("patch", "dim", "depth", "num_heads")
+                                  if k in loaded}
+                    else:
+                        vae_params = loaded
+                image_res = (self.params.camera.height,
+                             self.params.camera.width)
+                if arch == "vit":
+                    from ..models.vit import ViTImageEncoder
+                    self.vae = ViTImageEncoder(latent_dim=cfg.latent_dim,
+                                               image_res=image_res,
+                                               params=vae_params,
+                                               seed=cfg.seed, **vit_kw)
+                else:
+                    self.vae = VAEImageEncoder(latent_dim=cfg.latent_dim,
+                                               image_res=image_res,
+                                               params=vae_params,
+                                               seed=cfg.seed)
 
         self._nav_step = jax.jit(make_nav_step(self.params, cfg, self.vae),
                                  donate_argnums=(0,))
