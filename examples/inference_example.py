@@ -44,3 +44,17 @@ if __name__ == "__main__":
             print(f"step {i}: mean reward {total / (i + 1):.3f} "
                   f"crashes {int(term.sum())}")
     print(f"numpy-policy closed loop done; mean step reward {total/args.play_steps:.3f}")
+
+    # LibTorch-only deployment artifact (reference convert_model.py flow)
+    try:
+        from aerial_gym_simulator_tpu.sim2real import (
+            convert_model_to_script_model)
+        pt = convert_model_to_script_model("/tmp/inference_example.npz",
+                                           "/tmp/inference_example.pt")
+        import torch
+        m = torch.jit.load(pt)
+        a = m(torch.as_tensor(np.asarray(obs["observations"][:2]).copy()))
+        print(f"TorchScript deployment module written to {pt}; "
+              f"sample action {np.asarray(a.detach())[0].round(3)}")
+    except ImportError:
+        print("torch unavailable — skipped the TorchScript export step")
