@@ -137,22 +137,54 @@ class PopulationTrainer:
         self.last_metrics = None
 
     # ---- multi-chip: shard the POPULATION axis (zero collectives) --------
-    def shard(self, n_devices: Optional[int] = None):
-        """Place every member on its own mesh slice. Members are
-        independent, so the compiled program has no cross-device
-        communication at all — K devices run K members at single-member
-        speed (the embarrassing-parallel limit of scaling efficiency)."""
-        from ..parallel import mesh as meshlib
-        m = meshlib.make_mesh(n_devices)
-        n_dev = len(m.devices.flatten())
-        if self.num_seeds % n_dev:
+    def shard(self, n_devices: Optional[int] = None, env_devices: int = 1):
+        """Shard the population over a mesh. With env_devices == 1 every
+        member lives on its own mesh slice and the compiled program has no
+        cross-device communication at all — K devices run K members at
+        single-member speed. env_devices > 1 builds a 2-D
+        (population x env) mesh: each member's env batch additionally
+        shards over env_devices chips (its gradient all-reduce rides the
+        inner mesh axis), e.g. 8 chips = 2 members x 4-chip env sharding
+        for large-env populations."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = jax.devices()
+        if n_devices is None:
+            n_devices = len(devices)
+        if n_devices % env_devices:
+            raise ValueError(f"n_devices {n_devices} must be a multiple of "
+                             f"env_devices {env_devices}")
+        pop_devices = n_devices // env_devices
+        if self.num_seeds % pop_devices:
             raise ValueError(f"num_seeds {self.num_seeds} must be a "
-                             f"multiple of the device count {n_dev}")
-        for name in ("train_state", "norm", "key", "env_carry", "obs"):
-            setattr(self, name, meshlib.shard_env_pytree(
-                getattr(self, name), m, self.num_seeds))
-        logger.info(f"population sharded over {n_dev} devices "
-                    f"({self.num_seeds // n_dev} members/device)")
+                             f"multiple of the population mesh axis "
+                             f"{pop_devices}")
+        if self.cfg.num_envs % env_devices:
+            raise ValueError(f"num_envs {self.cfg.num_envs} must be a "
+                             f"multiple of env_devices {env_devices}")
+        m = Mesh(np.asarray(devices[:n_devices]).reshape(
+            pop_devices, env_devices), ("pop", "env"))
+        pop_spec = NamedSharding(m, P("pop"))
+        both_spec = NamedSharding(m, P("pop", "env"))
+        N = self.cfg.num_envs
+
+        def place_env(leaf):
+            # env-batched member leaves: (K, N, ...) -> pop x env; member
+            # scalars/aggregates: (K, ...) -> pop only
+            if env_devices > 1 and leaf.ndim >= 2 and leaf.shape[1] == N:
+                return jax.device_put(leaf, both_spec)
+            return jax.device_put(leaf, pop_spec)
+
+        for name in ("env_carry", "obs"):
+            setattr(self, name, jax.tree_util.tree_map(
+                place_env, getattr(self, name)))
+        for name in ("train_state", "norm", "key"):
+            setattr(self, name, jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, pop_spec), getattr(self, name)))
+        logger.info(
+            f"population sharded over {n_devices} devices "
+            f"({pop_devices} pop x {env_devices} env; "
+            f"{self.num_seeds // pop_devices} members per mesh row)")
         return m
 
     # ---- PBT: exploit/explore between vmapped train iterations -----------
@@ -289,6 +321,9 @@ def main():
                    help="log-spaced per-member initial learning rates")
     p.add_argument("--multichip", action="store_true",
                    help="shard the population axis over all devices")
+    p.add_argument("--env_devices", type=int, default=1,
+                   help="with --multichip: 2-D mesh — each member's env "
+                        "batch also shards over this many chips")
     p.add_argument("--save_best", default=None,
                    help="write the best member's checkpoint here")
     p.add_argument("--pbt_every", type=int, default=0,
@@ -314,7 +349,7 @@ def main():
                                              num_envs=args.num_envs, seed=s),
         cfg, num_seeds=args.num_seeds, member_lrs=lrs)
     if args.multichip:
-        pop.shard()
+        pop.shard(env_devices=args.env_devices)
     pop.train(pbt_every=args.pbt_every, pbt_fraction=args.pbt_fraction)
     best = pop.best_member()
     r = pop.last_metrics["reward_mean"]

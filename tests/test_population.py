@@ -150,6 +150,24 @@ def test_population_shards_over_virtual_mesh():
     assert np.isfinite(r).all() and r.shape == (n_dev,)
 
 
+def test_population_2d_mesh_matches_unsharded():
+    """2-D (pop x env) mesh: each member's env batch shards over the inner
+    axis; results equal the unsharded run."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    env_dev = jax.device_count() // 2
+    cfg = PPOConfig(**CFG)  # num_envs=8 divisible by env_dev (2 or 4)
+    pop = PopulationTrainer(_factory, cfg, num_seeds=2)
+    ref = PopulationTrainer(_factory, cfg, num_seeds=2)
+    pop.shard(env_devices=env_dev)
+    pop.train(total_env_steps=2 * 8 * 4, log_every=1)
+    ref.train(total_env_steps=2 * 8 * 4, log_every=1)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5),
+        pop.train_state.params, ref.train_state.params)
+
+
 def test_population_shard_rejects_indivisible():
     if jax.device_count() < 2:
         pytest.skip("needs the multi-device virtual mesh")
