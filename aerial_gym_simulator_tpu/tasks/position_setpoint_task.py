@@ -81,7 +81,7 @@ def compute_reward(pos_error, robot_quats, robot_angvels, crashes,
 
 def task_step(params: SimParams, state: SimState, actions: jax.Array,
               target_position: jax.Array, episode_len: int, crash_dist: float,
-              n_substeps=None):
+              n_substeps=None, obs_before_reset: bool = False):
     """Fused: sim step -> reward -> termination -> masked reset -> obs."""
     state = dynamics.env_step(params, state, actions, n_substeps)
 
@@ -92,24 +92,31 @@ def task_step(params: SimParams, state: SimState, actions: jax.Array,
     truncations = (state.sim_steps > episode_len).astype(jnp.float32)
     state = state.replace(crashes=crashes, truncations=truncations)
 
-    # auto-reset AFTER reward; returned obs reflect the post-reset state
-    # (reference return_state_before_reset=False path)
+    # auto-reset AFTER reward; by default the returned obs reflect the
+    # post-reset state (reference return_state_before_reset=False path);
+    # obs_before_reset packs them from the pre-reset state instead
+    # (reference position_setpoint_task.py:169-181 True path)
     state = dynamics.post_reward_step(params, state)
 
-    obs2 = compute_robot_obs(state.pos, state.quat, state.linvel, state.angvel)
-    task_obs = jnp.concatenate(
-        [target_position - obs2.pos, obs2.quat, obs2.body_linvel, obs2.body_angvel],
-        axis=-1,
-    )
+    def pack(o):
+        return jnp.concatenate(
+            [target_position - o.pos, o.quat, o.body_linvel, o.body_angvel],
+            axis=-1)
+
+    if obs_before_reset:
+        task_obs = pack(obs)
+    else:
+        task_obs = pack(compute_robot_obs(state.pos, state.quat,
+                                          state.linvel, state.angvel))
     return state, task_obs, reward, crashes, truncations
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5), donate_argnums=2)
+@partial(jax.jit, static_argnums=(0, 4, 5, 8), donate_argnums=2)
 def _jit_task_step(params_key, params, state, actions, episode_len, crash_dist,
-                   target_position, n_substeps):
+                   target_position, n_substeps, obs_before_reset=False):
     del params_key
     return task_step(params, state, actions, target_position, episode_len,
-                     crash_dist, n_substeps)
+                     crash_dist, n_substeps, obs_before_reset)
 
 
 class PositionSetpointTask:
@@ -223,7 +230,8 @@ class PositionSetpointTask:
             self._params_key, self.params, self.state, self.actions,
             self.task_config.episode_len_steps,
             self.task_config.crash_dist_threshold,
-            self.target_position, n)
+            self.target_position, n,
+            bool(self.task_config.return_state_before_reset))
         self.sim_env.state = state
         self.sim_env.step_counter += 1
         self.task_obs["observations"] = task_obs

@@ -403,9 +403,15 @@ def variant_task_step(params: SimParams, cfg: VariantTaskConfig,
 
     truncations = (state.sim_steps > cfg.episode_len_steps).astype(jnp.float32)
     state = state.replace(crashes=crashes, truncations=truncations)
+    state_pre_reset = state
     state = dynamics.post_reward_step(params, state)
 
-    task_obs = _pack_obs(cfg, state, action, target_position, k_obs)
+    # reference position_setpoint_task_sim2real.py return_state_before_reset
+    # True path: obs packed from the pre-reset state
+    task_obs = _pack_obs(cfg,
+                         state_pre_reset if cfg.return_state_before_reset
+                         else state,
+                         action, target_position, k_obs)
     # reference parity: prev_actions are zeroed for freshly reset envs
     done = jnp.maximum(crashes, truncations)
     prev_action = jnp.where(done.astype(bool)[:, None], 0.0, action)
@@ -590,7 +596,7 @@ class _FrozenCfg:
     _FIELDS = ("variant", "episode_len_steps", "crash_dist",
                "action_limit_min", "action_limit_max", "num_motors",
                "num_joints", "action_space_dim", "num_envs",
-               "observation_space_dim")
+               "observation_space_dim", "return_state_before_reset")
 
     def __init__(self, cfg: VariantTaskConfig):
         for f in self._FIELDS:

@@ -67,3 +67,41 @@ def test_reward_increases_near_target(task):
 
 def test_registry_listing():
     assert "position_setpoint_task" in ag.task_registry.get_task_names()
+
+
+def test_return_state_before_reset_obs_semantics():
+    """return_state_before_reset=True returns the PRE-reset observation of
+    crashed envs (reference position_setpoint_task.py:169-181 True path);
+    the default False returns the post-reset obs."""
+    cfg = ag.task_registry.get_task_config("position_setpoint_task")
+    cfg.num_envs = 8
+    cfg.return_state_before_reset = True
+    t = ag.task_registry.make_task("position_setpoint_task", num_envs=8,
+                                   task_config=cfg)
+    t.reset()
+    st = t.state
+    t.state = st.replace(pos=st.pos.at[:, 0].set(20.0))
+    obs, r, term, trunc, info = t.step(jnp.zeros((8, 4)))
+    assert int(np.asarray(term).sum()) == 8
+    # obs[0:3] = target - pos: reflects the crashed 20 m position...
+    assert np.abs(np.asarray(obs["observations"])[:, 0]).min() > 10.0
+    # ...while the carried state has already auto-reset into bounds
+    assert np.abs(np.asarray(t.state.pos)).max() < 5.0
+
+
+def test_return_state_before_reset_variant():
+    from aerial_gym_simulator_tpu.tasks.position_setpoint_variants import (
+        Sim2RealConfig)
+    cfg = Sim2RealConfig()
+    cfg.num_envs = 8
+    cfg.return_state_before_reset = True
+    t = ag.task_registry.make_task("position_setpoint_task_sim2real",
+                                   num_envs=8, task_config=cfg)
+    t.reset()
+    carry = t._carry
+    # teleport beyond the 10 m crash distance
+    t._carry = carry._replace(
+        sim=carry.sim.replace(pos=carry.sim.pos.at[:, 0].set(30.0)))
+    obs, r, term, trunc, info = t.step(jnp.zeros((8, 4)))
+    assert int(np.asarray(term).sum()) == 8
+    assert np.abs(np.asarray(obs["observations"])[:, 0]).min() > 15.0
