@@ -314,20 +314,31 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
         pts, _ = render_lidar(params, sim, noise_key=k_noise, want_seg=False)
         lidar_obs, ttc = process_pointcloud(cfg, obs2.pos, obs2.linvel, pts, k_pc)
 
-        vec_to_tgt = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)
+        if cfg.return_state_before_reset:
+            # reference lidar_navigation_task.py:386 True path: obs from
+            # the PRE-reset state, with the previous step's lidar features
+            # (the reference renders after reset, so the returned image is
+            # one step stale at that point)
+            pack_obs, pack_target, pack_yaw = obs, ns.target_position, ns.target_yaw
+            pack_lidar = ns.lidar_obs
+        else:
+            pack_obs, pack_target, pack_yaw = obs2, target, target_yaw
+            pack_lidar = lidar_obs
+        vec_to_tgt = quat_apply_inverse(pack_obs.vehicle_quat,
+                                        pack_target - pack_obs.pos)
         dist_to_tgt = jnp.linalg.norm(vec_to_tgt, axis=-1, keepdims=True)
         perturb = 0.2 * (jax.random.uniform(k_obs, vec_to_tgt.shape) - 0.5)
         unit_vec = (vec_to_tgt + perturb) / jnp.maximum(dist_to_tgt, 1e-6)
-        euler = ssa(obs2.euler)
+        euler = ssa(pack_obs.euler)
         e_pert = euler + 0.1 * (jax.random.uniform(
             jax.random.fold_in(k_obs, 1), euler.shape) - 0.5)
         task_obs = jnp.concatenate([
             unit_vec, dist_to_tgt,
             e_pert[..., 0:1], e_pert[..., 1:2],
-            ssa(target_yaw - euler[..., 2])[..., None],
-            obs2.body_linvel, obs2.body_angvel,
+            ssa(pack_yaw - euler[..., 2])[..., None],
+            pack_obs.body_linvel, pack_obs.body_angvel,
             action,
-            lidar_obs,
+            pack_lidar,
         ], axis=-1)
 
         pos_error_new = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)

@@ -272,11 +272,20 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
             latents = jnp.zeros_like(ns.latents)
 
         # ---- observation packing (reference process_obs_for_task) ---------
-        vec_to_tgt = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)
+        if cfg.return_state_before_reset:
+            # reference navigation_task.py:309 True path: the returned obs
+            # reflect the PRE-reset state and the latents rendered for the
+            # previous step (the reference renders after reset, so at
+            # return time self.image_latents is one step stale)
+            pack_obs, pack_target, pack_latents = obs, ns.target_position, ns.latents
+        else:
+            pack_obs, pack_target, pack_latents = obs2, target, latents
+        vec_to_tgt = quat_apply_inverse(pack_obs.vehicle_quat,
+                                        pack_target - pack_obs.pos)
         dist_to_tgt = jnp.linalg.norm(vec_to_tgt, axis=-1, keepdims=True)
         perturb = 0.2 * (jax.random.uniform(k_obs, vec_to_tgt.shape) - 0.5)
         unit_vec = (vec_to_tgt + perturb) / jnp.maximum(dist_to_tgt, 1e-6)
-        euler = ssa(obs2.euler)
+        euler = ssa(pack_obs.euler)
         e_pert = euler + 0.1 * (jax.random.uniform(
             jax.random.fold_in(k_obs, 1), euler.shape) - 0.5)
         task_obs = jnp.concatenate([
@@ -284,9 +293,9 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
             dist_to_tgt,
             e_pert[..., 0:1], e_pert[..., 1:2],
             jnp.zeros_like(dist_to_tgt),
-            obs2.body_linvel, obs2.body_angvel,
+            pack_obs.body_linvel, pack_obs.body_angvel,
             action,
-            latents,
+            pack_latents,
         ], axis=-1)
 
         pos_error_new = quat_apply_inverse(obs2.vehicle_quat, target - obs2.pos)

@@ -76,3 +76,32 @@ def test_task_runs_and_obs_shape(name):
     assert o.shape == (2, 13 + 4 + 320)
     assert np.all(np.isfinite(o))
     assert "curriculum_level" in info
+
+
+def test_return_state_before_reset_lidar():
+    """return_state_before_reset=True: obs reflect the pre-reset pose and
+    the previous step's lidar features (reference
+    lidar_navigation_task.py:386 True path)."""
+    cfg = ag.task_registry.get_task_config("lidar_navigation_task")
+    cfg.num_envs = 2
+    cfg.return_state_before_reset = True
+    t = ag.task_registry.make_task("lidar_navigation_task", num_envs=2,
+                                   task_config=cfg)
+    t.reset()
+    ns = t.nav_state
+    # force truncation next step; park the robot at a known offset
+    sim = ns.sim.replace(
+        sim_steps=jnp.full_like(ns.sim.sim_steps, 10_000),
+        pos=jnp.zeros_like(ns.sim.pos),
+        linvel=jnp.zeros_like(ns.sim.linvel))
+    t.nav_state = ns.replace(sim=sim)
+    target_before = np.asarray(ns.target_position)
+    lidar_before = np.asarray(ns.lidar_obs)
+    obs, r, term, trunc, info = t.step(jnp.zeros((2, 4), jnp.float32))
+    assert int(np.asarray(trunc).sum()) == 2
+    o = np.asarray(obs["observations"])
+    # dist slot ~ |target_old - pos_old~0| (robot barely moves in one step)
+    np.testing.assert_allclose(
+        o[:, 3], np.linalg.norm(target_before, axis=-1), atol=0.5)
+    # lidar slots are the PREVIOUS step's features, verbatim
+    np.testing.assert_allclose(o[:, 17:], lidar_before, atol=1e-6)

@@ -105,3 +105,28 @@ def test_return_state_before_reset_variant():
     obs, r, term, trunc, info = t.step(jnp.zeros((8, 4)))
     assert int(np.asarray(term).sum()) == 8
     assert np.abs(np.asarray(obs["observations"])[:, 0]).min() > 15.0
+
+
+def test_return_state_before_reset_navigation():
+    """Camera navigation: True path returns pre-reset obs with the
+    previous step's latents (reference navigation_task.py:309)."""
+    cfg = ag.task_registry.get_task_config("navigation_task")
+    cfg.num_envs = 2
+    cfg.return_state_before_reset = True
+    t = ag.task_registry.make_task("navigation_task", num_envs=2,
+                                   task_config=cfg)
+    t.reset()
+    ns = t.nav_state
+    sim = ns.sim.replace(
+        sim_steps=jnp.full_like(ns.sim.sim_steps, 10_000),
+        pos=jnp.zeros_like(ns.sim.pos),
+        linvel=jnp.zeros_like(ns.sim.linvel))
+    t.nav_state = ns.replace(sim=sim)
+    target_before = np.asarray(ns.target_position)
+    latents_before = np.asarray(ns.latents)
+    obs, r, term, trunc, info = t.step(jnp.zeros((2, 4), jnp.float32))
+    assert int(np.asarray(trunc).sum()) == 2
+    o = np.asarray(obs["observations"])
+    np.testing.assert_allclose(
+        o[:, 3], np.linalg.norm(target_before, axis=-1), atol=0.5)
+    np.testing.assert_allclose(o[:, 17:], latents_before, atol=1e-6)
