@@ -98,6 +98,25 @@ def test_sharded_navigation_ppo_step_runs(devices_ok):
     assert len(trainer.env_carry.sim.pos.sharding.device_set) == 8
 
 
+def test_sharded_lidar_navigation_ppo_step_runs(devices_ok):
+    """One PPO iteration of the LIDAR navigation task (BASELINE config 5:
+    lidar navigation PPO across N hosts — full sensor pipeline) with
+    env-sharded carry on the 8-device mesh."""
+    from aerial_gym_simulator_tpu.parallel.distributed import shard_trainer
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    task = ag.task_registry.make_task("lidar_navigation_task", num_envs=16,
+                                      seed=3)
+    cfg = PPOConfig(num_envs=16, horizon=4, minibatch_size=32, epochs=1,
+                    seed=3)
+    trainer = PPOTrainer(task, cfg)
+    shard_trainer(trainer, 8)
+    hist = trainer.train(total_env_steps=cfg.num_envs * cfg.horizon,
+                         log_every=1)
+    assert np.isfinite(hist[-1]["reward_mean"])
+    assert len(trainer.env_carry.sim.pos.sharding.device_set) == 8
+
+
 def test_sharded_bptt_update_runs(devices_ok):
     """First-order (BPTT) training with env-sharded carry on the 8-device
     mesh: backprop-through-simulator gradients all-reduce across the mesh
