@@ -71,6 +71,26 @@ def test_reference_yaml_loads_through_our_mapper():
     assert ours["params"]["config"]["env_name"] == c["env_name"]
 
 
+def test_reference_navigation_yaml_loads_through_our_mapper():
+    """The reference's navigation yaml (recurrent GRU policy) maps onto
+    PPOConfig with the same hyperparameters and the rnn section engaged."""
+    ref_yaml = ("/root/reference/aerial_gym/rl_training/rl_games/"
+                "ppo_aerial_quad_navigation.yaml")
+    if not os.path.exists(ref_yaml):
+        import pytest
+        pytest.skip("reference checkout not present")
+    doc = load_yaml_config(ref_yaml)
+    cfg = ppo_config_from_yaml(doc)
+    c = doc["params"]["config"]
+    rnn = doc["params"]["network"]["rnn"]
+    assert cfg.rnn == "gru" and rnn["name"] == "gru"
+    assert cfg.rnn_hidden == rnn["units"]
+    assert cfg.num_envs == c["env_config"]["num_envs"]
+    assert cfg.gamma == c["gamma"]
+    assert cfg.lr == float(c["learning_rate"])
+    assert tuple(cfg.hidden) == tuple(doc["params"]["network"]["mlp"]["units"])
+
+
 def test_extract_obs_wrapper():
     task = ag.task_registry.make_task("position_setpoint_task", num_envs=4,
                                       seed=0)
