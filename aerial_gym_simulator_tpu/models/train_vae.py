@@ -55,7 +55,12 @@ def main(argv=None):
                    help="encoder architecture: the reference-parity conv "
                         "VAE, or the ViT transformer encoder (models/vit; "
                         "MXU-friendly, tensor-parallel shardable)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     env = SimBuilder().build_env(
         "base_sim", "env_with_obstacles", "base_quadrotor_with_camera",

@@ -186,7 +186,12 @@ def main():
                    help="shard the env axis over all visible devices")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed.initialize before the mesh")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.multihost:
         from ..parallel.distributed import initialize_multihost

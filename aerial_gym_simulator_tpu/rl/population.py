@@ -330,7 +330,12 @@ def main():
                    help="population-based training: exploit/explore every "
                         "N iterations (0 = plain population)")
     p.add_argument("--pbt_fraction", type=float, default=0.25)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import aerial_gym_simulator_tpu as ag
     from .ppo import enable_compilation_cache

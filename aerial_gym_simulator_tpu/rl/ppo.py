@@ -918,7 +918,12 @@ def main():
     p.add_argument("--save", default=None,
                    help="write the final learner checkpoint (pickle, the "
                         "load_checkpoint/export_policy_npz format) here")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     # must run before ANY backend use — importing this package is kept free
     # of device-array creation precisely so this ordering works

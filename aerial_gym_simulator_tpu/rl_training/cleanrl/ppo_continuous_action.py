@@ -41,7 +41,12 @@ def parse_args():
     p.add_argument("--track", action="store_true",
                    help="write tensorboard scalars")
     p.add_argument("--log_dir", default="/tmp/aerial_gym_tpu_tb")
-    return p.parse_args()
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu)")
+    args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    return args
 
 
 def main():

@@ -104,7 +104,12 @@ def get_args(argv=None):
                    help="TensorBoard + metrics.jsonl directory")
     p.add_argument("--track", default=None, choices=[None, "wandb"],
                    help="stream metrics to wandb (reference runner --track)")
-    return p.parse_args(argv)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu)")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    return args
 
 
 def run(args) -> dict:
