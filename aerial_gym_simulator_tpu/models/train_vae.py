@@ -59,8 +59,8 @@ def main(argv=None):
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)
     if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     env = SimBuilder().build_env(
         "base_sim", "env_with_obstacles", "base_quadrotor_with_camera",

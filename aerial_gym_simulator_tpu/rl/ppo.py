@@ -922,8 +922,8 @@ def main():
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args()
     if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
 
     # must run before ANY backend use — importing this package is kept free
     # of device-array creation precisely so this ordering works

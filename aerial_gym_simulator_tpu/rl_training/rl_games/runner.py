@@ -107,8 +107,8 @@ def get_args(argv=None):
     p.add_argument("--cpu", action="store_true", help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu)")
     args = p.parse_args(argv)
     if args.cpu:
-        import jax
-        jax.config.update("jax_platforms", "cpu")
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
     return args
 
 
