@@ -248,10 +248,18 @@ class PopulationTrainer:
         history = []
         pbt_rng = np.random.default_rng(cfg.seed)
         t_start = time.perf_counter()
+        # Steady-state reference point after the first (compiling) iteration
+        # so sps(all) excludes the one-time XLA compile (see rl/ppo.py).
+        t_steady = None
+        steps_steady = 0
         for it in range(iters):
             (self.train_state, self.env_carry, self.obs, self.key, self.norm,
              metrics) = self._train_step(self.train_state, self.env_carry,
                                          self.obs, self.key, self.norm)
+            if t_steady is None:
+                jax.block_until_ready(metrics)
+                t_steady = time.perf_counter()
+                steps_steady = (it + 1) * steps_per_iter
             if pbt_every and (it + 1) % pbt_every == 0 and it != iters - 1:
                 rewards = np.asarray(metrics["reward_mean"])
                 for dst, src, f in self._pbt_step(rewards, pbt_rng,
@@ -264,14 +272,19 @@ class PopulationTrainer:
                 m = {k: np.asarray(v) for k, v in metrics.items()}
                 m["iter"] = it
                 m["env_steps"] = (it + 1) * steps_per_iter
-                m["wall_s"] = time.perf_counter() - t_start
+                now = time.perf_counter()
+                m["wall_s"] = now - t_start
+                dt, dsteps = now - t_steady, m["env_steps"] - steps_steady
+                sps = (dsteps / dt if dsteps > 0 and dt > 0
+                       else m["env_steps"] / m["wall_s"])
+                m["env_steps_per_s"] = self.num_seeds * sps
                 history.append(m)
                 r = m["reward_mean"]
                 logger.info(
                     f"it {it:4d} steps/member {m['env_steps']:.2e} "
                     f"reward best {r.max():7.3f} / mean {r.mean():7.3f} / "
                     f"worst {r.min():7.3f} "
-                    f"sps(all) {self.num_seeds * m['env_steps'] / m['wall_s']:.0f}")
+                    f"sps(all) {m['env_steps_per_s']:.0f}")
         self.last_metrics = history[-1] if history else None
         return history
 

@@ -839,10 +839,20 @@ class PPOTrainer:
 
         history = []
         t_start = time.perf_counter()
+        # Steady-state throughput reference point: set after the first
+        # iteration returns, so the reported sps excludes the one-time XLA
+        # compile (which otherwise dominates short runs with a cold
+        # persistent-compilation cache).
+        t_steady = None
+        steps_steady = 0
         for it in range(start_iter, iters):
             (self.train_state, env_carry, obs, self.key, self.norm,
              metrics) = self._train_step(self.train_state, env_carry, obs,
                                          self.key, self.norm)
+            if t_steady is None:
+                jax.block_until_ready(metrics)
+                t_steady = time.perf_counter()
+                steps_steady = (it + 1) * steps_per_iter
             if ckpt_dir and save_every and (it + 1) % save_every == 0:
                 self.env_carry, self.obs, self._iter = env_carry, obs, it + 1
                 self.save_training_state(ckpt_dir)
@@ -851,8 +861,14 @@ class PPOTrainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iter"] = it
                 m["env_steps"] = (it + 1) * steps_per_iter
-                m["wall_s"] = time.perf_counter() - t_start
-                m["env_steps_per_s"] = m["env_steps"] / m["wall_s"]
+                now = time.perf_counter()
+                m["wall_s"] = now - t_start
+                # Post-compile (steady-state) throughput; falls back to the
+                # cumulative rate on the very first log point.
+                dt = now - t_steady
+                dsteps = m["env_steps"] - steps_steady
+                m["env_steps_per_s"] = (dsteps / dt if dsteps > 0 and dt > 0
+                                        else m["env_steps"] / m["wall_s"])
                 history.append(m)
                 writer.write(m["env_steps"], m)
                 logger.info(
