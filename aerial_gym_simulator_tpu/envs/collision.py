@@ -13,31 +13,37 @@ import jax
 import jax.numpy as jnp
 
 from ..sim.structs import SimParams, SimState
-from ..utils.math import quat_rotate_inverse
+from ..utils.math import quat_rotate_inverse, safe_norm
 
 STIFFNESS = 1000.0  # N/m
 
 
 def _sd_box(p, half):
-    """Signed distance of point p (...,3) to an origin box with half-extents."""
+    """Signed distance of point p (...,3) to an origin box with half-extents.
+
+    safe_norm, not jnp.linalg.norm: inside the box max(q, 0) is exactly the
+    zero vector, so a bare norm's backward pass is NaN precisely when the
+    robot penetrates (crashes) — the case BPTT/sys-id through obstacle envs
+    cares about (CLAUDE.md differentiability invariant).
+    """
     q = jnp.abs(p) - half
-    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    outside = safe_norm(jnp.maximum(q, 0.0), axis=-1)
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return outside + inside
 
 
 def _sd_cylinder(p, r, h):
     """Z-aligned capped cylinder at origin; h = full length."""
-    d_xy = jnp.linalg.norm(p[..., :2], axis=-1) - r
+    d_xy = safe_norm(p[..., :2], axis=-1) - r
     d_z = jnp.abs(p[..., 2]) - 0.5 * h
-    outside = jnp.linalg.norm(
+    outside = safe_norm(
         jnp.stack([jnp.maximum(d_xy, 0.0), jnp.maximum(d_z, 0.0)], axis=-1), axis=-1)
     inside = jnp.minimum(jnp.maximum(d_xy, d_z), 0.0)
     return outside + inside
 
 
 def _sd_sphere(p, r):
-    return jnp.linalg.norm(p, axis=-1) - r
+    return safe_norm(p, axis=-1) - r
 
 
 def primitive_sdf(kind, size, p):

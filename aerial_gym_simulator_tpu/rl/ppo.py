@@ -863,12 +863,17 @@ class PPOTrainer:
                 m["env_steps"] = (it + 1) * steps_per_iter
                 now = time.perf_counter()
                 m["wall_s"] = now - t_start
-                # Post-compile (steady-state) throughput; falls back to the
-                # cumulative rate on the very first log point.
+                # env_steps_per_s is the post-compile (steady-state) rate —
+                # definition changed from cumulative in round 1 (PERF.md);
+                # the cumulative rate is kept under its own key. The first
+                # log point falls back to THIS-RUN steps over this-run wall
+                # (on resume, env_steps includes pre-resume iterations).
+                run_steps = m["env_steps"] - start_iter * steps_per_iter
+                m["env_steps_per_s_cumulative"] = run_steps / m["wall_s"]
                 dt = now - t_steady
                 dsteps = m["env_steps"] - steps_steady
                 m["env_steps_per_s"] = (dsteps / dt if dsteps > 0 and dt > 0
-                                        else m["env_steps"] / m["wall_s"])
+                                        else run_steps / m["wall_s"])
                 history.append(m)
                 writer.write(m["env_steps"], m)
                 logger.info(

@@ -39,7 +39,7 @@ from ..sim import dynamics
 from ..sim.sim_builder import SimBuilder
 from ..sim.structs import SimParams, SimState
 from ..utils.logging import CustomLogger
-from ..utils.math import interpolate_ratio, quat_apply_inverse, ssa
+from ..utils.math import interpolate_ratio, quat_apply_inverse, safe_norm, ssa
 from .navigation_task import CurriculumConfig, curriculum_update
 
 logger = CustomLogger("lidar_navigation_task")
@@ -149,7 +149,7 @@ def process_pointcloud(cfg: LidarNavigationTaskConfig, robot_pos, linvel,
     (lidar_navigation_task.py:286-365; radar variant :6-23)."""
     N = pts.shape[0]
     dirs = pts - robot_pos[:, None, None, :]
-    rng_img = jnp.linalg.norm(dirs, axis=-1)                 # (N, 48, 120)
+    rng_img = safe_norm(dirs, axis=-1)                 # (N, 48, 120)
     rng_flat = rng_img.reshape(N, -1)
     unit_dir = dirs.reshape(N, -1, 3) / (rng_flat[..., None] + 1e-6)
 
@@ -193,12 +193,12 @@ def compute_reward(rp: dict, pos_error, prev_pos_error, vehicle_linvel,
                    ttc, curriculum_progress):
     """reference lidar_navigation_task.py:554-720 compute_reward."""
     mult = 1.0 + 2.0 * curriculum_progress
-    dist = jnp.linalg.norm(pos_error, axis=-1)
+    dist = safe_norm(pos_error, axis=-1)
     pos_reward = _erf(rp["pos_reward_magnitude"], rp["pos_reward_exponent"], dist)
     very_close = _erf(rp["very_close_to_goal_reward_magnitude"],
                       rp["very_close_to_goal_reward_exponent"], dist)
 
-    vel_norm = jnp.linalg.norm(vehicle_linvel, axis=-1)
+    vel_norm = safe_norm(vehicle_linvel, axis=-1)
     vel_dir = vehicle_linvel / (vel_norm[..., None] + 1e-6)
     unit_to_goal = pos_error / (dist[..., None] + 1e-6)
     reasonable_vel = _erf(2.0, 2.0, vel_norm - 2.0)
@@ -286,7 +286,7 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
                                 progress)
         crashes = sim.crashes
         truncations = (sim.sim_steps > cfg.episode_len_steps).astype(jnp.float32)
-        dist = jnp.linalg.norm(ns.target_position - obs.pos, axis=-1)
+        dist = safe_norm(ns.target_position - obs.pos, axis=-1)
         successes = truncations * (dist < cfg.success_distance).astype(jnp.float32)
         successes = jnp.where(crashes > 0, 0.0, successes)
         timeouts = jnp.where(crashes > 0, 0.0, truncations * (1.0 - successes))
@@ -326,7 +326,7 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
             pack_lidar = lidar_obs
         vec_to_tgt = quat_apply_inverse(pack_obs.vehicle_quat,
                                         pack_target - pack_obs.pos)
-        dist_to_tgt = jnp.linalg.norm(vec_to_tgt, axis=-1, keepdims=True)
+        dist_to_tgt = safe_norm(vec_to_tgt, axis=-1, keepdims=True)
         perturb = 0.2 * (jax.random.uniform(k_obs, vec_to_tgt.shape) - 0.5)
         unit_vec = (vec_to_tgt + perturb) / jnp.maximum(dist_to_tgt, 1e-6)
         euler = ssa(pack_obs.euler)

@@ -37,7 +37,7 @@ from ..control.controllers import compute_robot_obs
 from ..models.vae import VAEImageEncoder
 from ..sensors.raycast_sensor import render_camera
 from ..utils import rng as rnglib
-from ..utils.math import interpolate_ratio, quat_apply_inverse, ssa
+from ..utils.math import interpolate_ratio, quat_apply_inverse, safe_norm, ssa
 from ..utils.logging import CustomLogger
 
 logger = CustomLogger("navigation_task")
@@ -146,8 +146,8 @@ def _exp_penalty(mag, exp, v):
 def compute_reward(rp: dict, pos_error, prev_pos_error, crashes, action,
                    prev_action, curriculum_progress: jax.Array):
     mult = 1.0 + 2.0 * curriculum_progress
-    dist = jnp.linalg.norm(pos_error, axis=-1)
-    prev_dist = jnp.linalg.norm(prev_pos_error, axis=-1)
+    dist = safe_norm(pos_error, axis=-1)
+    prev_dist = safe_norm(prev_pos_error, axis=-1)
     pos_reward = _exp_reward(rp["pos_reward_magnitude"],
                              rp["pos_reward_exponent"], dist)
     very_close = _exp_reward(rp["very_close_to_goal_reward_magnitude"],
@@ -228,7 +228,7 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
                                 action, ns.prev_action, progress)
         crashes = sim.crashes
         truncations = (sim.sim_steps > cfg.episode_len_steps).astype(jnp.float32)
-        dist = jnp.linalg.norm(ns.target_position - obs.pos, axis=-1)
+        dist = safe_norm(ns.target_position - obs.pos, axis=-1)
         successes = truncations * (dist < cfg.success_distance).astype(jnp.float32)
         successes = jnp.where(crashes > 0, 0.0, successes)
         timeouts = jnp.where(crashes > 0, 0.0,
@@ -282,7 +282,7 @@ def make_nav_step(params: SimParams, cfg: NavigationTaskConfig, vae: Optional[VA
             pack_obs, pack_target, pack_latents = obs2, target, latents
         vec_to_tgt = quat_apply_inverse(pack_obs.vehicle_quat,
                                         pack_target - pack_obs.pos)
-        dist_to_tgt = jnp.linalg.norm(vec_to_tgt, axis=-1, keepdims=True)
+        dist_to_tgt = safe_norm(vec_to_tgt, axis=-1, keepdims=True)
         perturb = 0.2 * (jax.random.uniform(k_obs, vec_to_tgt.shape) - 0.5)
         unit_vec = (vec_to_tgt + perturb) / jnp.maximum(dist_to_tgt, 1e-6)
         euler = ssa(pack_obs.euler)

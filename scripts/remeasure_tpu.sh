@@ -63,7 +63,19 @@ if sps:
 EOF
 
 note "5/5 render throughput (270x480 depth, 16 envs)"
-timeout 1200 python examples/benchmark.py --mode render 2>&1 | tail -2 >> "$OUT"
+timeout 1200 python examples/benchmark.py --mode render 2>&1 | tail -2 \
+  | tee /tmp/remeasure_render.log
+python - "$OUT" <<'EOF'
+import json, re, sys
+txt = open("/tmp/remeasure_render.log").read()
+fps = re.findall(r"([\d,]+)\s*frames/s", txt)
+rays = re.findall(r"\(([\d.]+)\s*M rays/s\)", txt)
+if fps:
+    json.dump({"metric": "render_frames_per_s",
+               "value": float(fps[-1].replace(",", "")), "unit": "frames/s",
+               "m_rays_per_s": float(rays[-1]) if rays else None},
+              open(sys.argv[1], "a")); open(sys.argv[1], "a").write("\n")
+EOF
 
 note "done -> $OUT  (update CLAUDE.md / PERF.md / README.md with these)"
 cat "$OUT"

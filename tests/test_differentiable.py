@@ -83,6 +83,52 @@ def test_rollout_gradients_finite_and_match_fd(env):
                                    rtol=0.05, atol=1e-3)
 
 
+def test_gradients_finite_through_obstacle_penetration():
+    """Gradients stay finite through a crash in an obstacle env.
+
+    Regression for the contact-gradient NaN hole (VERDICT r1): _sd_box used
+    a bare jnp.linalg.norm whose backward is NaN exactly when the robot is
+    INSIDE a box obstacle (max(q,0) == 0 vector) — i.e. precisely on the
+    penetrating trajectories BPTT/sys-id through obstacle envs cares about.
+    The rollout below forcibly penetrates an obstacle (crash registered) and
+    asserts d(loss)/d(actions) and d(loss)/d(initial pos) are finite.
+    """
+    from aerial_gym_simulator_tpu.sim import dynamics
+
+    e = SimBuilder().build_env(
+        sim_name="base_sim", env_name="env_with_obstacles",
+        robot_name="base_quadrotor",
+        controller_name="lee_velocity_control", num_envs=2, seed=5)
+    e.reset()
+    params, state0 = e.params, e.state
+    # teleport env 0's robot to the center of its first obstacle: inside a
+    # box primitive the pre-fix backward pass was NaN
+    obs0 = state0.obstacle_pos[0, 0]
+    state0 = state0.replace(pos=state0.pos.at[0].set(obs0))
+
+    steps = 6
+    actions = jnp.zeros((steps, 2, 4), jnp.float32)
+
+    def rollout_loss(acts, pos0):
+        st = state0.replace(pos=pos0)
+
+        def body(st, a):
+            st = dynamics.env_step(params, st, a)
+            return st, (st.pos, st.crashes)
+
+        st, (traj, crashes) = jax.lax.scan(body, st, acts)
+        # loss touches both the trajectory and the contact-driven crash
+        # signal so the SDF gradient path is actually exercised
+        return jnp.sum(traj**2) * (1.0 + 0.1 * jnp.sum(crashes)), crashes
+
+    (loss, crashes), grads = jax.value_and_grad(
+        rollout_loss, argnums=(0, 1), has_aux=True)(actions, state0.pos)
+    assert float(crashes[:, 0].max()) > 0, "robot inside obstacle must crash"
+    for g in grads:
+        assert bool(jnp.isfinite(g).all()), "NaN/inf rollout grads through crash"
+    assert bool(jnp.isfinite(loss))
+
+
 def test_gradient_sysid_recovers_parameters(env):
     """Adam on trajectory MSE recovers motor tau + drag from a wrong guess
     (the examples/differentiable_sysid_example.py recipe, shrunk)."""
