@@ -53,12 +53,32 @@ def _parse_origin(elem) -> Tuple[np.ndarray, np.ndarray]:
 @dataclass
 class Primitive:
     """One collision/visual primitive in link-local frame."""
-    kind: str                   # "box" | "cylinder" | "sphere"
-    size: np.ndarray            # box: (sx,sy,sz); cyl: (r, len, 0); sph: (r,0,0)
-    xyz: np.ndarray
-    rot: np.ndarray             # 3x3
+    kind: str                   # "box" | "cylinder" | "sphere" | "triangle"
+    # box: (sx,sy,sz); cyl: (r, len, 0); sph: (r,0,0);
+    # triangle: (a, b, c) with local verts (0,0),(a,0),(b,c) in the z=0 plane
+    size: np.ndarray
+    xyz: np.ndarray             # triangle: v0
+    rot: np.ndarray             # 3x3; triangle: columns [x along e1, y, normal]
     link: str
     semantic_id: int = 0
+
+
+def _resolve_mesh_path(fname: str, urdf_path: str) -> Optional[str]:
+    """Resolve a URDF mesh filename relative to the URDF's directory.
+    Handles the common `package://pkg/...` prefix by searching for the
+    suffix path next to the URDF. Returns None when unresolvable."""
+    if not fname:
+        return None
+    if fname.startswith("package://"):
+        fname = fname.split("package://", 1)[1].split("/", 1)[-1]
+    base = os.path.dirname(urdf_path) if urdf_path and os.path.sep in urdf_path \
+        else (os.path.dirname(urdf_path) or ".")
+    cands = [fname, os.path.join(base, fname),
+             os.path.join(base, os.path.basename(fname))]
+    for c in cands:
+        if os.path.isfile(c):
+            return c
+    return None
 
 
 @dataclass
@@ -105,6 +125,16 @@ def _link_world_transforms(root) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 def load_urdf(path: str, semantic_id: int = 0, per_link_semantic: bool = False,
               semantic_masked_links: Optional[Dict[str, int]] = None) -> UrdfModel:
+    # URDFs referencing mesh files take the Python parser (triangle-mesh
+    # path); the C++ compiler handles the primitive-only fast path
+    try:
+        with open(path) as f:
+            has_mesh = "<mesh" in f.read()
+    except OSError:
+        has_mesh = False
+    if has_mesh:
+        return _parse_urdf_tree(ET.parse(path).getroot(), path, semantic_id,
+                                per_link_semantic, semantic_masked_links)
     # fast path: native C++ compiler (assets/native_loader.py); falls back to
     # this module's Python parser for unsupported options or parse failures
     if not semantic_masked_links and os.environ.get(
@@ -123,7 +153,8 @@ def load_urdf_string(text: str, name: str = "<string>", semantic_id: int = 0,
                      per_link_semantic: bool = False,
                      semantic_masked_links: Optional[Dict[str, int]] = None) -> UrdfModel:
     # procedural assets also go through the native compiler by default
-    if not semantic_masked_links and os.environ.get(
+    # (mesh-referencing URDFs go to the Python parser, as in load_urdf)
+    if "<mesh" not in text and not semantic_masked_links and os.environ.get(
             "AERIAL_GYM_TPU_NATIVE_LOADER", "1") != "0":
         from . import native_loader
         model = native_loader.load_urdf_string_native(text, name, semantic_id,
@@ -199,13 +230,27 @@ def _parse_urdf_tree(root, path, semantic_id=0, per_link_semantic=False,
                     Primitive("sphere", np.array([r, 0.0, 0.0]), p_xyz, p_R, name, sem)
                 )
             elif mesh is not None:
-                # approximate mesh by a small box at its origin; scale if given
+                # real triangle-mesh path (reference warp_asset.py loads
+                # trimeshes): STL/OBJ -> triangle primitives (kind 3) via
+                # assets/mesh.py; falls back to a unit bounding box when the
+                # file cannot be resolved (e.g. URDF passed as a string)
                 scale = np.array(
                     [float(v) for v in (mesh.get("scale") or "1 1 1").split()]
                 )
-                primitives.append(
-                    Primitive("box", 0.1 * scale, p_xyz, p_R, name, sem)
-                )
+                fname = mesh.get("filename", "")
+                resolved = _resolve_mesh_path(fname, path)
+                if resolved:
+                    from .mesh import mesh_to_triangle_prims
+                    tv0, trot, tsize = mesh_to_triangle_prims(resolved,
+                                                              scale=scale)
+                    for k in range(len(tv0)):
+                        primitives.append(Primitive(
+                            "triangle", tsize[k], p_xyz + p_R @ tv0[k],
+                            p_R @ trot[k], name, sem))
+                else:
+                    primitives.append(
+                        Primitive("box", 0.1 * scale, p_xyz, p_R, name, sem)
+                    )
         link_ctr += 1
 
     com = com_acc / total_mass if total_mass > 0 else np.zeros(3)
@@ -218,7 +263,9 @@ def _parse_urdf_tree(root, path, semantic_id=0, per_link_semantic=False,
     # bounding sphere: furthest primitive extent from COM
     radius = 0.05
     for p in primitives:
-        ext = float(np.max(np.abs(p.size))) * 0.5 + float(np.linalg.norm(p.xyz - com))
+        # triangle extent is measured from v0 (edge lengths), not halved
+        half = 1.0 if p.kind == "triangle" else 0.5
+        ext = float(np.max(np.abs(p.size))) * half + float(np.linalg.norm(p.xyz - com))
         radius = max(radius, ext)
 
     return UrdfModel(

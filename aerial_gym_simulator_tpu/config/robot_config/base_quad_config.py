@@ -143,6 +143,9 @@ class RobotAssetConfig:
     inertia: Optional[List[List[float]]] = None
     place_force_sensor: bool = True
     force_sensor_parent_link: str = "base_link"
+    # DOF armature added to the joint-space inertia diagonal (reference
+    # snakey_config.py robot_asset.armature; PhysX articulation armature)
+    armature: float = 0.001
     # collision proxy radius used for obstacle contact queries (bounding
     # sphere of the robot); None => computed from URDF link geometry
     collision_radius: Optional[float] = None
@@ -171,6 +174,10 @@ class RobotConfig:
     )
     # dof / reconfigurable extensions (None for rigid multirotors)
     dof_config: object = None
+    # URDF text describing the joint tree; when set, the robot integrates
+    # with the fully-coupled floating-base articulation solver
+    # (sim/articulated.py) instead of the decoupled per-DOF approximation
+    articulation_urdf: Optional[str] = None
 
 
 def BaseQuadCfg() -> RobotConfig:

@@ -386,6 +386,8 @@ def snakey() -> RobotConfig:
     cfg.dof_config = _snakey_dofs(3)
     cfg.disturbance.enable_disturbance = True
     cfg.init_config = _FULLBOX_INIT()
+    from .reconfigurable_urdf import snakey_urdf
+    cfg.articulation_urdf = snakey_urdf(4)
     return _mass_props(cfg, 1.225, [0.00169, 1.533, 1.533])
 
 
@@ -405,6 +407,8 @@ def _snakey_n(name: str, num_motors: int) -> RobotConfig:
                       init_config=_FULLBOX_INIT())
     cfg.dof_config = _snakey_dofs(num_motors - 1)
     cfg.disturbance.enable_disturbance = True
+    from .reconfigurable_urdf import snakey_urdf
+    cfg.articulation_urdf = snakey_urdf(num_motors)
     mass = {5: (1.531, [0.00211, 3.065, 3.065]),
             6: (1.8375, [0.00253, 5.362, 5.362])}[num_motors]
     return _mass_props(cfg, mass[0], mass[1])
@@ -452,6 +456,8 @@ def morphy() -> RobotConfig:
         upper_limit=[math.pi / 4] * 8,
     )
     cfg.disturbance.enable_disturbance = False
+    from .reconfigurable_urdf import morphy_urdf
+    cfg.articulation_urdf = morphy_urdf()
     return cfg
 
 

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..sim.structs import SimParams, SimState
-from ..utils.math import quat_rotate_inverse, safe_norm
+from ..utils.math import quat_rotate_inverse, safe_norm, safe_sqrt
 
 STIFFNESS = 1000.0  # N/m
 
@@ -46,12 +46,46 @@ def _sd_sphere(p, r):
     return safe_norm(p, axis=-1) - r
 
 
+def _sd_triangle(p, size):
+    """UNSIGNED distance to a triangle in its own frame (z = 0 plane,
+    vertices (0,0), (a,0), (b,c) = assets/mesh.py encoding). Mesh obstacles
+    are surfaces, so contact fires on surface proximity — the same
+    observable the reference gets from PhysX mesh contacts (binary
+    force-threshold crash test, env_manager.py:358-362)."""
+    a, b, c = size[..., 0], size[..., 1], size[..., 2]
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    # closest point in the triangle's plane: clamp barycentric coords of the
+    # projection, then resolve against each edge segment
+    zeros = jnp.zeros_like(a)
+
+    def seg_dist2(px, py, ax_, ay, bx, by):
+        dx_, dy_ = bx - ax_, by - ay
+        tt = jnp.clip(((px - ax_) * dx_ + (py - ay) * dy_)
+                      / jnp.maximum(dx_ * dx_ + dy_ * dy_, 1e-12), 0.0, 1.0)
+        cx, cy = ax_ + tt * dx_, ay + tt * dy_
+        return (px - cx) ** 2 + (py - cy) ** 2
+
+    # inside test (2D barycentric)
+    v = y / jnp.maximum(c, 1e-12)
+    u = (x - v * b) / jnp.maximum(a, 1e-12)
+    inside = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    d_edge2 = jnp.minimum(
+        jnp.minimum(seg_dist2(x, y, zeros, zeros, a, zeros),
+                    seg_dist2(x, y, a, zeros, b, c)),
+        seg_dist2(x, y, b, c, zeros, zeros))
+    d2_plane = jnp.where(inside, 0.0, d_edge2)
+    return safe_sqrt(d2_plane + z * z)
+
+
 def primitive_sdf(kind, size, p):
-    """Dispatch on primitive kind array: 0 box, 1 cylinder, 2 sphere, -1 pad."""
+    """Dispatch on kind array: 0 box, 1 cyl, 2 sphere, 3 triangle, -1 pad."""
     d_box = _sd_box(p, 0.5 * size)
     d_cyl = _sd_cylinder(p, size[..., 0], size[..., 1])
     d_sph = _sd_sphere(p, size[..., 0])
-    d = jnp.where(kind == 0, d_box, jnp.where(kind == 1, d_cyl, d_sph))
+    d_tri = _sd_triangle(p, size)
+    d = jnp.where(kind == 0, d_box,
+                  jnp.where(kind == 1, d_cyl,
+                            jnp.where(kind == 3, d_tri, d_sph)))
     return jnp.where(kind < 0, 1e6, d)
 
 

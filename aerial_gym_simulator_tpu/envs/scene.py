@@ -22,7 +22,7 @@ from ..sim.structs import SceneParams, SimParams, SimState
 from ..utils import rng as rnglib
 from ..utils.math import interpolate_ratio, quat_from_euler_xyz_tensor
 
-_KIND = {"box": 0, "cylinder": 1, "sphere": 2}
+_KIND = {"box": 0, "cylinder": 1, "sphere": 2, "triangle": 3}
 
 # Teleport target for culled obstacles (reference asset_manager.py:72)
 CULL_POSITION = -1000.0
@@ -109,11 +109,11 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         env_asset_variant[:, a_idx] = rng.randint(lo, hi, size=num_envs)
 
     # ---- flattened per-env primitive soup --------------------------------
-    # Prims are SORTED BY KIND (box, cylinder, sphere) and padded per kind
+    # Prims are SORTED BY KIND (box, cylinder, sphere, triangle) and padded per kind
     # to the max count across envs: the Pallas ray-cast kernel then runs
     # three branch-free loops with static bounds instead of per-prim
     # dispatch. Padding prims are parked at CULL_POSITION with zero size.
-    per_env_by_kind = {k: [[] for _ in range(num_envs)] for k in range(3)}
+    per_env_by_kind = {k: [[] for _ in range(num_envs)] for k in range(4)}
     for e in range(num_envs):
         for a in range(A):
             v = env_asset_variant[e, a]
@@ -125,7 +125,7 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
                     (a, prim_size[v, p], prim_pos[v, p], prim_rot[v, p],
                      prim_semantic[v, p]))
     kind_max = {k: max((len(per_env_by_kind[k][e]) for e in range(num_envs)),
-                       default=0) for k in range(3)}
+                       default=0) for k in range(4)}
     P_env = max(sum(kind_max.values()), 1)
     ep_slot = np.zeros((num_envs, P_env), np.int32)
     ep_kind = -np.ones((num_envs, P_env), np.int32)
@@ -135,7 +135,7 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
     ep_sem = np.zeros((num_envs, P_env), np.int32)
     for e in range(num_envs):
         c = 0
-        for k in range(3):
+        for k in range(4):
             entries = per_env_by_kind[k][e]
             for (a, sz, pp, pr, sm) in entries:
                 ep_slot[e, c] = a
@@ -188,6 +188,7 @@ def build_scene_params(env_cfg, num_envs: int, max_prims: int = 16,
         n_box=kind_max[0],
         n_cyl=kind_max[1],
         n_sph=kind_max[2],
+        n_tri=kind_max[3],
     )
 
 

@@ -93,12 +93,31 @@ def ray_cylinder(ro, rd, r, h):
                        jnp.minimum(cap(half), cap(-half)))
 
 
+def ray_triangle(ro, rd, size):
+    """Triangle in its own frame: z = 0 plane, vertices (0,0), (a,0), (b,c)
+    with (a, b, c) = size (assets/mesh.py triangles_to_frames encoding).
+    Two-sided; returns t > 0 or +inf."""
+    a, b, c = size[..., 0], size[..., 1], size[..., 2]
+    t = _safe_div(-ro[..., 2], rd[..., 2])
+    x = ro[..., 0] + t * rd[..., 0]
+    y = ro[..., 1] + t * rd[..., 1]
+    v = _safe_div(y, c)
+    u = _safe_div(x - v * b, a)
+    eps = 1e-6
+    ok = ((t > 0.0) & (jnp.abs(rd[..., 2]) > 1e-9) & (u >= -eps)
+          & (v >= -eps) & (u + v <= 1.0 + eps) & (a > 0.0))
+    return jnp.where(ok, t, _BIG)
+
+
 def ray_primitive(kind, size, ro, rd):
-    """Dispatch: 0 box, 1 cylinder, 2 sphere, -1 padding."""
+    """Dispatch: 0 box, 1 cylinder, 2 sphere, 3 triangle, -1 padding."""
     t_box = ray_box(ro, rd, 0.5 * size)
     t_cyl = ray_cylinder(ro, rd, size[..., 0], size[..., 1])
     t_sph = ray_sphere(ro, rd, size[..., 0])
-    t = jnp.where(kind == 0, t_box, jnp.where(kind == 1, t_cyl, t_sph))
+    t_tri = ray_triangle(ro, rd, size)
+    t = jnp.where(kind == 0, t_box,
+                  jnp.where(kind == 1, t_cyl,
+                            jnp.where(kind == 3, t_tri, t_sph)))
     return jnp.where(kind < 0, _BIG, t)
 
 
@@ -188,8 +207,13 @@ def primitive_normal(kind, size, hit_p):
     cap = jnp.concatenate([jnp.zeros_like(r), jnp.zeros_like(r),
                            jnp.sign(hit_p[..., 2:3])], axis=-1)
     n_cyl = jnp.where(on_cap, cap, side)
+    # triangle: plane normal is +z in the triangle frame
+    n_tri = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], hit_p.dtype), hit_p.shape)
     k = kind[..., None]
-    return jnp.where(k == 0, n_box, jnp.where(k == 1, n_cyl, n_sph))
+    return jnp.where(k == 0, n_box,
+                     jnp.where(k == 1, n_cyl,
+                               jnp.where(k == 3, n_tri, n_sph)))
 
 
 def raycast_env_normals(prim_kind, prim_size, prim_pos, prim_rot, prim_sem,

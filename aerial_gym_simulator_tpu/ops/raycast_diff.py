@@ -49,7 +49,8 @@ def _forward(scene, obstacle_pos, obstacle_quat, origin, quat, dirs,
         t, _ = rp.raycast_pallas(rp.pack_pose(origin, quat), prims, dirs,
                                  ones, scene.n_box, scene.n_cyl, scene.n_sph,
                                  float(max_range), want_seg=False,
-                                 interpret=(mode == "interpret"))
+                                 interpret=(mode == "interpret"),
+                                 n_tri=scene.n_tri)
         return t
     return _oracle_depth(scene, obstacle_pos, obstacle_quat, origin, quat,
                          dirs, max_range)

@@ -68,9 +68,9 @@ def _safe_inv(x):
     return y * (2.0 - x * y)
 
 
-def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
-                 tile_rows: int, want_seg: bool = True):
-    P = n_box + n_cyl + n_sph
+def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
+                 max_range: float, tile_rows: int, want_seg: bool = True):
+    P = n_box + n_cyl + n_sph + n_tri
 
     def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
                *outs):
@@ -203,6 +203,22 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
             t = jnp.where((disc >= 0.0) & (t > 0.0) & (radius > 0.0), t, _BIG)
             update(t, sem)
 
+        def tri_body(i):
+            # triangle in its own frame: z = 0 plane, verts (0,0),(a,0),(b,c)
+            # with (a,b,c) = the size slots (assets/mesh.py encoding);
+            # two-sided plane hit + 2D barycentric inside test
+            p = n_box + n_cyl + n_sph + i
+            (sa, sb, sc_, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
+            t = -roz * _safe_inv(rdz)
+            x = rox + t * rdx
+            y = roy + t * rdy
+            v = y * _safe_inv(sc_)
+            u = (x - v * sb) * _safe_inv(sa)
+            eps = 1e-6
+            ok = ((t > 0.0) & (u >= -eps) & (v >= -eps)
+                  & (u + v <= 1.0 + eps) & (sa > 0.0))
+            update(jnp.where(ok, t, _BIG), sem)
+
         # unrolled primitive sweeps (Mosaic software-pipelines the SMEM
         # scalar loads against the vector math; a fori_loop serializes them)
         # with a scalar broad-phase branch around each primitive's vector
@@ -213,6 +229,8 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, max_range: float,
             pl.when(in_reach(n_box + i))(lambda i=i: cyl_body(i))
         for i in range(n_sph):
             pl.when(in_reach(n_box + n_cyl + i))(lambda i=i: sph_body(i))
+        for i in range(n_tri):
+            pl.when(in_reach(n_box + n_cyl + n_sph + i))(lambda i=i: tri_body(i))
 
         t_best = t_scr[:]
         miss = t_best >= jnp.minimum(max_range, 0.5 * _BIG)
@@ -263,11 +281,11 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
 
 
 @functools.partial(jax.jit, static_argnames=("n_box", "n_cyl", "n_sph",
-                                             "max_range", "want_seg",
-                                             "interpret"))
+                                             "n_tri", "max_range",
+                                             "want_seg", "interpret"))
 def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
                    n_sph: int, max_range: float, want_seg: bool = True,
-                   interpret: bool = False):
+                   interpret: bool = False, n_tri: int = 0):
     """pose (N,8), prims (N,P,16), dirs (R,3) sensor-frame already rotated
     to WORLD per env? No — dirs are sensor-frame; pose quat rotates them
     in-kernel. dirs (R,3), mult (R,). R padded to TILE_RAYS internally.
@@ -327,12 +345,16 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     sx, sy, sz = prims[:, :, 0], prims[:, :, 1], prims[:, :, 2]
     r_box = 0.5 * jnp.sqrt(sx * sx + sy * sy + sz * sz)
     r_cyl = jnp.sqrt(sx * sx + 0.25 * sy * sy)
+    # triangle: bounding sphere about v0 covering both edges
+    r_tri = jnp.maximum(sx, jnp.sqrt(sy * sy + sz * sz))
     kind = np.zeros((P,), np.int32)
     kind[n_box:n_box + n_cyl] = 1
-    kind[n_box + n_cyl:] = 2
+    kind[n_box + n_cyl:n_box + n_cyl + n_sph] = 2
+    kind[n_box + n_cyl + n_sph:] = 3
     kind = jnp.asarray(kind)[None, :]
     bound = jnp.where(kind == 0, r_box,
-                      jnp.where(kind == 1, r_cyl, sx))         # (N, P)
+                      jnp.where(kind == 1, r_cyl,
+                                jnp.where(kind == 3, r_tri, sx)))  # (N, P)
     u = centers - origin[:, None, :]                           # (N, P, 3)
     d2 = jnp.sum(u * u, axis=-1)                               # (N, P)
     reach = max_range + bound
@@ -355,7 +377,8 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     ro = jnp.einsum("npji,npj->npi", R_w, -u)   # R^T (o-p), R row-major
     prims = jnp.concatenate([prims, ro], axis=-1)              # (N, P, 19)
 
-    kernel = _make_kernel(n_box, n_cyl, n_sph, max_range, tile_rows, want_seg)
+    kernel = _make_kernel(n_box, n_cyl, n_sph, n_tri, max_range, tile_rows,
+                          want_seg)
     out_specs = [pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((N, rows, _LANES), jnp.float32)]

@@ -57,3 +57,24 @@ def run_dryrun(n_devices: int) -> None:
     print(f"dryrun_multichip OK: {n_devices} devices, "
           f"{num_envs} envs sharded, reward_mean="
           f"{float(metrics['reward_mean']):.3f}")
+
+    # --- phase 2: the FULL vision pipeline (Pallas-oracle ray-cast renderer
+    # + VAE encoder inside the rollout) sharded over the same mesh, so the
+    # dryrun certifies the navigation scale-out path, not just the MLP task
+    from .distributed import shard_trainer
+
+    nav_envs = 2 * n_devices
+    nav_task = ag.task_registry.make_task("navigation_task",
+                                          num_envs=nav_envs, seed=1)
+    nav_cfg = PPOConfig(num_envs=nav_envs, horizon=2,
+                        minibatch_size=nav_envs, epochs=1, seed=1)
+    nav_trainer = PPOTrainer(nav_task, nav_cfg)
+    shard_trainer(nav_trainer, n_devices)
+    hist = nav_trainer.train(total_env_steps=nav_envs * nav_cfg.horizon,
+                             log_every=1)
+    assert np.isfinite(hist[-1]["reward_mean"])
+    assert len(nav_trainer.env_carry.sim.pos.sharding.device_set) == n_devices, (
+        "navigation sim state not sharded over the mesh")
+    print(f"dryrun_multichip OK (navigation): {n_devices} devices, "
+          f"{nav_envs} envs, render+VAE in the sharded rollout, "
+          f"reward_mean={float(hist[-1]['reward_mean']):.3f}")

@@ -206,7 +206,7 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
         t, sem = rp.raycast_pallas(rp.pack_pose(pos_w, quat_w), prims,
                                    dirs_use, ones, sc.n_box, sc.n_cyl,
                                    sc.n_sph, float(sp.max_range),
-                                   want_seg=want_seg)
+                                   want_seg=want_seg, n_tri=sc.n_tri)
         if sp.stereo_baseline > 0.0:
             offset = quat_rotate(quat_w, jnp.broadcast_to(
                 jnp.array([-sp.stereo_baseline, 0.0, 0.0], jnp.float32), (N, 3)))
@@ -214,7 +214,7 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
             t_r, _ = rp.raycast_pallas(rp.pack_pose(pos_w + offset, quat_w),
                                        prims, dirs_use, ones, sc.n_box,
                                        sc.n_cyl, sc.n_sph, float(sp.max_range),
-                                       want_seg=False)
+                                       want_seg=False, n_tri=sc.n_tri)
             t = jnp.maximum(t, t_r)
         if split:
             t = jnp.transpose(t.reshape(N, 2, H, W // 2),

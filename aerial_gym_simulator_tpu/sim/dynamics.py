@@ -53,12 +53,18 @@ from .structs import SimParams, SimState
 
 
 def compute_robot_wrench(params: SimParams, state: SimState, action: jax.Array,
-                         dist_key: jax.Array):
+                         dist_key: jax.Array, include_motor_wrench: bool = True):
     """One control substep -> (force_body, torque_body, new_motor_thrust).
 
     Mirrors BaseMultirotor.step: update derived states, clip actions, run
     controller, allocate to motors (with first-order lag), add aerodynamic
     drag and the Bernoulli-sampled disturbance wrench.
+
+    include_motor_wrench=False (articulated robots): the returned wrench is
+    drag + disturbance only — per-motor thrusts are applied at their true
+    joint-dependent link positions inside the articulated solver, matching
+    the reference's per-motor-link force application instead of a static
+    allocation to the base.
     """
     rp, mp, cp = params.robot, params.motor, params.controller
     obs = compute_robot_obs(state.pos, state.quat, state.linvel, state.angvel)
@@ -78,16 +84,17 @@ def compute_robot_wrench(params: SimParams, state: SimState, action: jax.Array,
         state.motor_tau_inc, state.motor_tau_dec, state.motor_thrust_constant,
     )
 
-    if rp.force_application_level == "root_link" and cp.name != "no_control":
-        # wrench passed through motor dynamics in thrust space, then
-        # re-assembled (reference ControlAllocator.update_wrench)
+    if include_motor_wrench:
+        # net wrench of per-motor-link forces == allocation @ thrusts (the
+        # allocation rows ARE the moment arms); identical math for the
+        # reference's root_link wrench re-assembly path
+        # (ControlAllocator.update_wrench)
         wrench = jnp.einsum("km,nm->nk", mp.allocation_matrix, new_thrust)
+        force_b = wrench[..., 0:3]
+        torque_b = wrench[..., 3:6]
     else:
-        # net wrench of per-motor-link forces == allocation @ thrusts
-        wrench = jnp.einsum("km,nm->nk", mp.allocation_matrix, new_thrust)
-
-    force_b = wrench[..., 0:3]
-    torque_b = wrench[..., 3:6]
+        force_b = jnp.zeros_like(state.pos)
+        torque_b = jnp.zeros_like(state.pos)
 
     # aerodynamic drag (reference simulate_drag, body frame)
     v_b = obs.body_linvel
@@ -209,9 +216,12 @@ def integrate_dofs(params: SimParams, state: SimState) -> SimState:
     qd = (qd + dt * (spring + damp * vel_ref) / J) / (1.0 + dt * damp / J)
     qd = jnp.clip(qd, -dp.max_velocity, dp.max_velocity)
     q = q + dt * qd
+    # inelastic joint stops (direct bound tests, no float-equality probe)
+    hit_lo = q < dp.lower_limit
+    hit_hi = q > dp.upper_limit
+    qd = jnp.where(hit_lo & (qd < 0.0), 0.0, qd)
+    qd = jnp.where(hit_hi & (qd > 0.0), 0.0, qd)
     q_clamped = jnp.clip(q, dp.lower_limit, dp.upper_limit)
-    # zero out joint velocity where the limit clamps (inelastic stop)
-    qd = jnp.where(q == q_clamped, qd, 0.0)
     return state.replace(dof_pos=q_clamped, dof_vel=qd)
 
 
@@ -254,12 +264,21 @@ def _substep(params: SimParams, state: SimState, action: jax.Array,
     rng, sub = rnglib.split_env_keys(state.rng)
     dist_key = jax.vmap(jax.random.fold_in)(
         sub, jnp.full((sub.shape[0],), sub_idx, dtype=jnp.uint32))
-    force_b, torque_b, new_thrust = compute_robot_wrench(params, state, action, dist_key)
+    force_b, torque_b, new_thrust = compute_robot_wrench(
+        params, state, action, dist_key,
+        include_motor_wrench=params.art is None)
     state = state.replace(rng=rng, motor_thrust=new_thrust,
                           applied_force_b=force_b, applied_torque_b=torque_b)
-    state = integrate_rigid_body(params, state, force_b, torque_b)
-    if params.dof is not None and params.dof.num_dofs > 0:
-        state = integrate_dofs(params, state)
+    if params.art is not None:
+        # fully-coupled floating-base articulation (reconfigurable robots):
+        # motors push on their own links, joints react on the base
+        from .articulated import articulated_substep
+        state = articulated_substep(params, state, force_b, torque_b,
+                                    new_thrust)
+    else:
+        state = integrate_rigid_body(params, state, force_b, torque_b)
+        if params.dof is not None and params.dof.num_dofs > 0:
+            state = integrate_dofs(params, state)
     if params.scene is not None and params.scene.num_assets > 0:
         from ..envs.scene import integrate_obstacles
         state = integrate_obstacles(params, state)

@@ -133,8 +133,58 @@ def build_controller_params(ctrl_cfg: ControllerConfig) -> ControllerParams:
     )
 
 
-def build_dof_params(robot_cfg: RobotConfig):
-    """DofParams from the robot's ReconfigurationConfig (None when rigid)."""
+def build_art_params(robot_cfg: RobotConfig):
+    """ArtParams from the robot's articulation URDF (None when rigid or no
+    URDF is attached — such robots fall back to the decoupled DOF path)."""
+    text = getattr(robot_cfg, "articulation_urdf", None)
+    if not text:
+        return None
+    from ..assets.articulation import parse_articulation
+    from .structs import ArtParams
+    model = parse_articulation(text)
+    if model is None:
+        return None
+    rc = robot_cfg.dof_config
+    if rc is not None and rc.num_dofs != model.nb:
+        raise ValueError(
+            f"articulation URDF has {model.nb} revolute joints but "
+            f"dof_config declares {rc.num_dofs} DOFs ({robot_cfg.name})")
+    asset = robot_cfg.robot_asset
+    if asset.mass is not None and abs(model.total_mass - asset.mass) > 1e-3:
+        logger.warning(
+            f"{robot_cfg.name}: articulation total mass {model.total_mass:.4f}"
+            f" != configured {asset.mass} (articulated path uses the URDF)")
+    M = robot_cfg.control_allocator_config.num_motors
+    if len(model.motor_body) != M:
+        raise ValueError(
+            f"articulation URDF has {len(model.motor_body)} motor links, "
+            f"config expects {M} ({robot_cfg.name})")
+    return ArtParams(
+        R_tree=_f32(model.R_tree),
+        t_tree=_f32(model.t_tree),
+        axis=_f32(model.axis),
+        mass=_f32(model.mass),
+        com=_f32(model.com),
+        inertia=_f32(model.inertia),
+        base_mass=_f32(model.base_mass),
+        base_com=_f32(model.base_com),
+        base_inertia=_f32(model.base_inertia),
+        motor_pos=_f32(model.motor_pos),
+        motor_dir=_f32(model.motor_dir),
+        armature=_f32(getattr(asset, "armature", 0.001)),
+        parent=tuple(model.parent),
+        motor_body=tuple(model.motor_body),
+        nb=model.nb,
+    )
+
+
+def build_dof_params(robot_cfg: RobotConfig, art_model=None):
+    """DofParams from the robot's ReconfigurationConfig (None when rigid).
+
+    When the robot ships an articulation URDF the joint limits and
+    effort/velocity clamps come from it (ground truth — what PhysX enforces
+    in the reference), overriding the config approximations.
+    """
     rc = robot_cfg.dof_config
     if rc is None:
         return None
@@ -145,6 +195,15 @@ def build_dof_params(robot_cfg: RobotConfig):
     inertia = rc.dof_inertia if rc.dof_inertia else [1e-3] * D
     lower = rc.lower_limit if rc.lower_limit else [-np.pi] * D
     upper = rc.upper_limit if rc.upper_limit else [np.pi] * D
+    max_velocity = [rc.max_velocity] * D
+    max_effort = [rc.max_effort] * D
+    text = getattr(robot_cfg, "articulation_urdf", None)
+    if text:
+        from ..assets.articulation import parse_articulation
+        model = parse_articulation(text)
+        if model is not None and model.nb == D:
+            lower, upper = model.lower, model.upper
+            max_effort, max_velocity = model.effort, model.velocity
     return DofParams(
         stiffness=_f32(rc.stiffness),
         damping=_f32(rc.damping),
@@ -155,8 +214,8 @@ def build_dof_params(robot_cfg: RobotConfig):
         dof_inertia=_f32(inertia),
         lower_limit=_f32(lower),
         upper_limit=_f32(upper),
-        max_velocity=_f32([rc.max_velocity] * D),
-        max_effort=_f32([rc.max_effort] * D),
+        max_velocity=_f32(max_velocity),
+        max_effort=_f32(max_effort),
         nonlinear_stiffness=_f32(rc.custom_nonlinear_stiffness),
         linear_damping=_f32(rc.custom_linear_damping),
         dof_mode=rc.dof_mode,
@@ -216,6 +275,7 @@ def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
         controller=build_controller_params(ctrl_cfg),
         env=build_env_params(env_cfg, num_envs),
         dof=build_dof_params(robot_cfg),
+        art=build_art_params(robot_cfg),
         scene=scene,
         camera=camera,
         lidar=lidar,

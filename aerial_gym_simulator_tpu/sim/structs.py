@@ -145,7 +145,7 @@ class SceneParams:
     like the reference's random per-env asset file selection,
     asset_loader.py:46-57). Per-(env, slot) pose state lives in SimState.
     """
-    prim_kind: jax.Array                 # (V, P) int32: 0 box, 1 cyl, 2 sphere, -1 pad
+    prim_kind: jax.Array                 # (V, P) int32: 0 box, 1 cyl, 2 sphere, 3 triangle, -1 pad
     prim_size: jax.Array                 # (V, P, 3)
     prim_pos: jax.Array                  # (V, P, 3) local offset in asset frame
     prim_rot: jax.Array                  # (V, P, 3, 3)
@@ -178,6 +178,7 @@ class SceneParams:
     n_box: int = struct.field(pytree_node=False, default=0)
     n_cyl: int = struct.field(pytree_node=False, default=0)
     n_sph: int = struct.field(pytree_node=False, default=0)
+    n_tri: int = struct.field(pytree_node=False, default=0)
 
 
 @struct.dataclass
@@ -246,6 +247,34 @@ class ImuParams:
 
 
 @struct.dataclass
+class ArtParams:
+    """Floating-base articulation (reconfigurable robots).
+
+    Built from the robot URDF joint tree (assets/articulation.py); consumed
+    by the CRBA/RNEA solver in sim/articulated.py, which replaces the PhysX
+    articulation the reference relies on (robots/base_reconfigurable.py,
+    robot_manager.py:441-468). One moving body per revolute DOF; fixed
+    subtrees are merged. Indices follow URDF joint order (PhysX DOF order).
+    """
+    R_tree: jax.Array                    # (NB,3,3) child->parent coords @ q=0
+    t_tree: jax.Array                    # (NB,3) joint origin in parent frame
+    axis: jax.Array                      # (NB,3) joint axis, child frame
+    mass: jax.Array                      # (NB,)
+    com: jax.Array                       # (NB,3) body frame
+    inertia: jax.Array                   # (NB,3,3) about com, body frame
+    base_mass: jax.Array                 # scalar
+    base_com: jax.Array                  # (3,)
+    base_inertia: jax.Array              # (3,3) about base com
+    motor_pos: jax.Array                 # (M,3) in owning body frame
+    motor_dir: jax.Array                 # (M,3) thrust direction (body frame)
+    armature: jax.Array                  # scalar added to H joint diagonal
+    # static tree structure (trace-time Python loops)
+    parent: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    motor_body: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    nb: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
 class SimParams:
     dt: jax.Array                        # scalar
     gravity: jax.Array                   # (3,)
@@ -254,6 +283,7 @@ class SimParams:
     controller: ControllerParams
     env: EnvParams
     dof: Optional[DofParams] = None
+    art: Optional[ArtParams] = None
     scene: Optional[SceneParams] = None
     camera: Optional[RaySensorParams] = None
     lidar: Optional[RaySensorParams] = None

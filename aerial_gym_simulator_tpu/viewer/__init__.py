@@ -1,4 +1,5 @@
 from .offline_viewer import OfflineViewer
 from .live_viewer import LiveViewer
+from .web_viewer import WebViewer
 
-__all__ = ["OfflineViewer", "LiveViewer"]
+__all__ = ["OfflineViewer", "LiveViewer", "WebViewer"]
