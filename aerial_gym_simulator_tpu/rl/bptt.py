@@ -151,9 +151,11 @@ class BPTTTrainer:
                  self.params, self.opt_state, self.carry, self.obs, ema,
                  best_ema, best_params, jnp.asarray(it))
             if it % log_every == 0 or it == iters - 1:
-                m = {"iter": it, "task_reward": float(rmean),
-                     "task_reward_ema": float(ema),
-                     "surrogate": float(loss),
+                # one batched D2H transfer (see rl/ppo.py train())
+                rmean_h, ema_h, loss_h = jax.device_get((rmean, ema, loss))
+                m = {"iter": it, "task_reward": float(rmean_h),
+                     "task_reward_ema": float(ema_h),
+                     "surrogate": float(loss_h),
                      "env_steps": (it + 1) * cfg.num_envs * cfg.horizon,
                      "wall_s": time.perf_counter() - t0}
                 history.append(m)

@@ -269,7 +269,9 @@ class PopulationTrainer:
                                 f"{src} (reward {rewards[src]:.3f}), "
                                 f"lr x{f}")
             if it % log_every == 0 or it == iters - 1:
-                m = {k: np.asarray(v) for k, v in metrics.items()}
+                # one batched D2H transfer (see rl/ppo.py train(): per-leaf
+                # fetches over a tunneled backend dominate the train step)
+                m = dict(jax.device_get(metrics))
                 m["iter"] = it
                 m["env_steps"] = (it + 1) * steps_per_iter
                 now = time.perf_counter()

@@ -845,6 +845,32 @@ class PPOTrainer:
         # persistent-compilation cache).
         t_steady = None
         steps_steady = 0
+        pending = None  # deferred (iter, device metrics, dispatch time)
+
+        def _emit(it, metrics, now):
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            m["iter"] = it
+            m["env_steps"] = (it + 1) * steps_per_iter
+            m["wall_s"] = now - t_start
+            # env_steps_per_s is the post-compile (steady-state) rate —
+            # definition changed from cumulative in round 1 (PERF.md); the
+            # cumulative rate is kept under its own key. The first log
+            # point falls back to THIS-RUN steps over this-run wall (on
+            # resume, env_steps includes pre-resume iterations). Timestamps
+            # are taken at dispatch; deltas between log points are what the
+            # sps uses, so steady-state values are unaffected by deferral.
+            run_steps = m["env_steps"] - start_iter * steps_per_iter
+            m["env_steps_per_s_cumulative"] = run_steps / max(m["wall_s"], 1e-9)
+            dt = now - t_steady
+            dsteps = m["env_steps"] - steps_steady
+            m["env_steps_per_s"] = (dsteps / dt if dsteps > 0 and dt > 0
+                                    else run_steps / max(m["wall_s"], 1e-9))
+            history.append(m)
+            writer.write(m["env_steps"], m)
+            logger.info(
+                f"it {it:4d} steps {m['env_steps']:.2e} "
+                f"reward {m['reward_mean']:7.3f} crash {m['crash_rate']:.3f} "
+                f"sps {m['env_steps_per_s']:.0f} wall {m['wall_s']:.1f}s")
         for it in range(start_iter, iters):
             (self.train_state, env_carry, obs, self.key, self.norm,
              metrics) = self._train_step(self.train_state, env_carry, obs,
@@ -858,28 +884,23 @@ class PPOTrainer:
                 self.save_training_state(ckpt_dir)
                 last_saved = it + 1
             if it % log_every == 0 or it == iters - 1:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["iter"] = it
-                m["env_steps"] = (it + 1) * steps_per_iter
-                now = time.perf_counter()
-                m["wall_s"] = now - t_start
-                # env_steps_per_s is the post-compile (steady-state) rate —
-                # definition changed from cumulative in round 1 (PERF.md);
-                # the cumulative rate is kept under its own key. The first
-                # log point falls back to THIS-RUN steps over this-run wall
-                # (on resume, env_steps includes pre-resume iterations).
-                run_steps = m["env_steps"] - start_iter * steps_per_iter
-                m["env_steps_per_s_cumulative"] = run_steps / m["wall_s"]
-                dt = now - t_steady
-                dsteps = m["env_steps"] - steps_steady
-                m["env_steps_per_s"] = (dsteps / dt if dsteps > 0 and dt > 0
-                                        else run_steps / m["wall_s"])
-                history.append(m)
-                writer.write(m["env_steps"], m)
-                logger.info(
-                    f"it {it:4d} steps {m['env_steps']:.2e} "
-                    f"reward {m['reward_mean']:7.3f} crash {m['crash_rate']:.3f} "
-                    f"sps {m['env_steps_per_s']:.0f} wall {m['wall_s']:.1f}s")
+                # Log WITHOUT stalling the device pipeline: fetching the
+                # just-dispatched iteration's metrics blocks until it
+                # finishes (one pipeline bubble per log point), and
+                # per-scalar float() fetches are ~10 separate D2H round
+                # trips — over a tunneled backend those cost more than the
+                # train step itself (profiled: train() ran at 4.5M steps/s
+                # vs 12.35M for the raw step; after batching 10.9M; with
+                # this one-point-delayed emission ~raw-step rate;
+                # scripts/profile_position_ppo.py). So each log point emits
+                # the PREVIOUS log point's metrics (long completed by now,
+                # so device_get returns without a sync) and stashes the
+                # current device refs.
+                if pending is not None:
+                    _emit(*pending)
+                pending = (it, metrics, time.perf_counter())
+        if pending is not None:
+            _emit(*pending)
         writer.close()
         self.env_carry = env_carry
         self.obs = obs

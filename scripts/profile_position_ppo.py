@@ -11,7 +11,12 @@ Run ALONE on the chip:  python scripts/profile_position_ppo.py
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import jax
 
@@ -45,11 +50,14 @@ def main():
                                      bounds_loss_coef=0.0),
     }
 
-    task = ag.task_registry.make_task("position_setpoint_task", num_envs=N,
-                                      seed=0)
     steps_per_iter = N * 32
     results = {}
     for name, kw in variants.items():
+        # fresh task per variant: the previous trainer DONATED the task's
+        # carry buffers (donate_argnums), so reusing the task makes the next
+        # trainer close over dead device arrays
+        task = ag.task_registry.make_task("position_setpoint_task",
+                                          num_envs=N, seed=0)
         cfg = PPOConfig(**{**base, **kw})
         trainer = PPOTrainer(task, cfg)
         ts, carry, obs, key, norm = (trainer.train_state, trainer.env_carry,
@@ -68,6 +76,17 @@ def main():
         results[name] = sps
         print(f"{name:28s} {sps/1e6:7.2f}M steps/s "
               f"({1e3 * dt / args.iters:.2f} ms/iter)")
+
+    # the full train() loop (what remeasure_tpu.sh measures) vs the raw
+    # step: quantifies host-loop overhead
+    task = ag.task_registry.make_task("position_setpoint_task", num_envs=N,
+                                      seed=0)
+    trainer = PPOTrainer(task, PPOConfig(**base))
+    hist = trainer.train(total_env_steps=steps_per_iter * (args.iters + 2),
+                         log_every=10)
+    results["train() loop (shipped)"] = hist[-1]["env_steps_per_s"]
+    print(f"{'train() loop (shipped)':28s} "
+          f"{hist[-1]['env_steps_per_s']/1e6:7.2f}M steps/s")
 
     print(json.dumps({k: round(v) for k, v in results.items()}))
 

@@ -84,5 +84,24 @@ rec = {"metric": "lidar_navigation_e2e", "ppo_s": $LIDAR_S,
 open("$OUT", "a").write(json.dumps(rec) + "\n")
 EOF
 
-note "done -> $OUT (update PERF.md / PARITY.md / README.md)"
+note "5/5 export shipped deployment artifacts (policy-regression anchors)"
+# the repo's own trained-policy anchors (VERDICT r1 item 4): nav policy npz
+# + frozen VAE + eval JSON committed under examples/dce_rl_navigation/
+# (mirrors the reference's shipped selected_network/), consumed by
+# run_trained_navigation_policy.py with NO flags and by
+# tests/test_shipped_policies.py with NO reference checkout.
+DCE=examples/dce_rl_navigation/selected_network
+mkdir -p "$DCE"
+timeout 600 python - <<EOF
+from aerial_gym_simulator_tpu.sim2real.numpy_policy import export_policy_npz
+export_policy_npz("/tmp/reval_nav.ckpt", "$DCE/navigation_policy.npz")
+export_policy_npz("/tmp/reval_lidar.ckpt", "$DCE/lidar_navigation_policy.npz")
+import shutil, json
+shutil.copy("/tmp/reval_vae.pkl", "$DCE/depth_vae.pkl")
+recs = [json.loads(l) for l in open("$OUT")]
+json.dump(recs, open("$DCE/eval_results.json", "w"), indent=1)
+print("shipped ->", "$DCE")
+EOF
+
+note "done -> $OUT (update PERF.md / PARITY.md / README.md; commit $DCE)"
 cat "$OUT"
