@@ -27,8 +27,31 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # location with AERIAL_GYM_TPU_JIT_CACHE (empty string disables).
 import os as _os
 
+
+def _default_jit_cache_dir() -> str:
+    """Persistent-cache dir FINGERPRINTED by the host CPU feature set.
+
+    XLA:CPU persists AOT-compiled machine code; loading an entry compiled
+    with different target features is undefined behavior (cpu_aot_loader
+    warns "could lead to execution errors such as SIGILL" — and a stale
+    shared cache dir did segfault the CPU test suite). Keying the dir on
+    the cpuinfo flags makes any feature mismatch select a fresh dir.
+    """
+    import hashlib
+    tag = "generic"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag = hashlib.sha1(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return f"/tmp/aerial_gym_tpu_jit_cache_{tag}"
+
+
 _cache_dir = _os.environ.get("AERIAL_GYM_TPU_JIT_CACHE",
-                             "/tmp/aerial_gym_tpu_jit_cache")
+                             _default_jit_cache_dir())
 if _cache_dir:
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -914,8 +914,15 @@ class PPOTrainer:
         return history
 
 
-def enable_compilation_cache(path: str = "/tmp/aerial_gym_tpu_jit_cache"):
-    """Persistent jit cache: repeat runs skip XLA compilation entirely."""
+def enable_compilation_cache(path: str = None):
+    """Persistent jit cache: repeat runs skip XLA compilation entirely.
+
+    Defaults to the CPU-feature-fingerprinted dir (see
+    aerial_gym_simulator_tpu.__init__._default_jit_cache_dir — stale
+    foreign-machine CPU AOT entries segfault)."""
+    if path is None:
+        from .. import _default_jit_cache_dir
+        path = _default_jit_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -18,15 +18,28 @@ import numpy as np
 import aerial_gym_simulator_tpu as ag
 from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer, enable_compilation_cache
 
+_SHIPPED = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "selected_network")
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", default="/tmp/navigation_task_ppo.ckpt")
+    p.add_argument("--checkpoint", default=None,
+                   help="PPOTrainer checkpoint; default: the SHIPPED "
+                        "selected_network/navigation_policy.npz anchor")
+    p.add_argument("--npz", default=_os.path.join(_SHIPPED,
+                                                  "navigation_policy.npz"),
+                   help="exported .npz policy (numpy inference path)")
     p.add_argument("--vae_params", default=None,
                    help="depth-VAE params pickle the policy was trained with "
-                        "(models.train_vae output) — MUST match training")
+                        "(models.train_vae output) — MUST match training; "
+                        "default: the shipped selected_network/depth_vae.pkl")
     p.add_argument("--num_envs", type=int, default=64)
     p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     enable_compilation_cache()
     from aerial_gym_simulator_tpu.tasks.navigation_task import (
@@ -35,21 +48,35 @@ if __name__ == "__main__":
     cfg.num_envs = args.num_envs
     if args.vae_params:
         cfg.vae_params_path = args.vae_params
+    elif _os.path.exists(_os.path.join(_SHIPPED, "depth_vae.pkl")):
+        cfg.vae_params_path = _os.path.join(_SHIPPED, "depth_vae.pkl")
     task = NavigationTask(cfg, seed=0)
-    trainer = PPOTrainer(task, PPOConfig(num_envs=args.num_envs, horizon=8,
-                                         minibatch_size=256))
-    if _os.path.exists(args.checkpoint):
+
+    policy = None
+    trainer = None
+    if args.checkpoint and _os.path.exists(args.checkpoint):
+        trainer = PPOTrainer(task, PPOConfig(num_envs=args.num_envs,
+                                             horizon=8, minibatch_size=256))
         trainer.load_checkpoint(args.checkpoint)
+    elif _os.path.exists(args.npz):
+        from aerial_gym_simulator_tpu.sim2real.numpy_policy import load_policy_npz
+        policy = load_policy_npz(args.npz, num_envs=args.num_envs)
+        print(f"flying shipped policy {args.npz}")
     else:
-        print(f"WARNING: {args.checkpoint} not found — flying the untrained "
+        trainer = PPOTrainer(task, PPOConfig(num_envs=args.num_envs,
+                                             horizon=8, minibatch_size=256))
+        print(f"WARNING: no checkpoint/npz found — flying the untrained "
               f"policy (train one with rl.ppo --task navigation_task)")
 
     obs, *_ = task.reset()
     successes = crashes = timeouts = 0
     dones = None  # recurrent policies zero per-env hidden at episode starts
     for i in range(args.steps):
-        action = trainer.act(obs["observations"], deterministic=True,
-                             done_prev=dones)
+        if policy is not None:
+            action = jnp.asarray(policy(np.asarray(obs["observations"])))
+        else:
+            action = trainer.act(obs["observations"], deterministic=True,
+                                 done_prev=dones)
         obs, reward, term, trunc, infos = task.step(action)
         dones = jnp.maximum(term, trunc)
         successes += int(np.asarray(infos["successes"]).sum())

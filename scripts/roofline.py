@@ -1,0 +1,168 @@
+"""Roofline / MFU accounting for the two hot programs (PERF.md section).
+
+Quantifies "fast" against hardware limits instead of only against the
+5M steps/s baseline target (VERDICT r1 item 9):
+
+  * fused position-PPO train step: FLOPs + bytes from XLA's own
+    cost_analysis of the compiled program, utilization vs MXU peak and HBM
+    bandwidth from the measured iteration time;
+  * Pallas ray-cast kernel: XLA cannot see inside a custom call, so FLOPs
+    are counted analytically from the kernel math (ops per primitive type
+    per ray x live primitives after broad-phase) and compared with VPU
+    peak (the kernel is all f32 vector ALU — the MXU is idle by design).
+
+Run ALONE on the chip:  python scripts/roofline.py [--cpu]
+Writes one JSON line per program to stdout (append to PERF.md).
+
+Peak numbers used (TPU v5e public specs): 394 TFLOP/s bf16 MXU,
+197 TFLOP/s int8..., f32 VPU ~= 3.6 TFLOP/s (1.74 GHz x 8x128 lanes x 2
+FMA), HBM 819 GB/s.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_FLOPS = 394e12
+V5E_VPU_F32_FLOPS = 3.6e12
+V5E_HBM_BPS = 819e9
+
+
+def analyze_ppo(num_envs=8192, iters=20):
+    import aerial_gym_simulator_tpu as ag
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=num_envs, seed=0)
+    cfg = PPOConfig(num_envs=num_envs, horizon=32, minibatch_size=8192,
+                    epochs=4, seed=0)
+    tr = PPOTrainer(task, cfg)
+    args = (tr.train_state, tr.env_carry, tr.obs, tr.key, tr.norm)
+    compiled = jax.jit(tr.train_step_fn, donate_argnums=(1,)).lower(
+        *args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    out = compiled(*args)
+    jax.block_until_ready(out[-1])
+    args = out[:5]
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*out[:5])
+    jax.block_until_ready(out[-1])
+    dt = (time.perf_counter() - t0) / iters
+
+    steps = num_envs * 32
+    rec = {
+        "program": "position_ppo_train_step",
+        "num_envs": num_envs,
+        "xla_flops": flops,
+        "xla_bytes_accessed": byts,
+        "wall_s_per_iter": round(dt, 5),
+        "env_steps_per_s": round(steps / dt),
+        "achieved_tflops": round(flops / dt / 1e12, 3),
+        "mxu_bf16_utilization_pct": round(100 * flops / dt / V5E_BF16_FLOPS, 2),
+        "achieved_GBps": round(byts / dt / 1e9, 1),
+        "hbm_utilization_pct": round(100 * byts / dt / V5E_HBM_BPS, 1),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+# analytic per-ray per-primitive FLOP counts for the kernel narrow phase
+# (ops/raycast_pallas.py bodies; counting vector float ops incl. selects):
+#   common prim transform (dirs R^T d): 15 mul+add
+#   box: 3 recip(4) + 6 mul + 6 add + 6 min/max*... ~= 45
+#   cylinder: ~55   sphere: ~25 (world frame)   triangle: ~35
+_FLOPS = {"common": 15, 0: 45, 1: 55, 2: 25, 3: 35}
+
+
+def analyze_render(num_envs=1024, h=135, w=240, iters=20):
+    import aerial_gym_simulator_tpu as ag
+
+    task = ag.task_registry.make_task("navigation_task", num_envs=num_envs,
+                                      seed=0)
+    sim = task.sim_env if hasattr(task, "sim_env") else task
+    params = task.params
+    sc = params.scene
+    from aerial_gym_simulator_tpu.ops import raycast_pallas as rp
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import camera_ray_dirs
+
+    dirs, _ = camera_ray_dirs(h, w, 90.0)
+    dirs = jnp.asarray(dirs.reshape(-1, 3))
+    R = dirs.shape[0]
+    state = task.get_carry().sim if hasattr(task, "get_carry") else task.state
+
+    pose = rp.pack_pose(state.pos, state.quat)
+    prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+    ones = jnp.ones((R,), jnp.float32)
+
+    fn = jax.jit(lambda pose, prims: rp.raycast_pallas(
+        pose, prims, dirs, ones, sc.n_box, sc.n_cyl, sc.n_sph, 10.0,
+        want_seg=False, n_tri=sc.n_tri)[0])
+    depth = fn(pose, prims)
+    jax.block_until_ready(depth)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        depth = fn(pose, prims)
+    jax.block_until_ready(depth)
+    dt = (time.perf_counter() - t0) / iters
+
+    # live primitives after range culling (broad-phase visibility varies per
+    # tile; range-level liveness is the honest upper bound on narrow-phase
+    # work, cone culling only reduces it further)
+    centers = np.asarray(prims[:, :, 3:6])
+    origin = np.asarray(state.pos)
+    d = np.linalg.norm(centers - origin[:, None, :], axis=-1)
+    live = d < 10.0 + 3.0
+    kinds = ([0] * sc.n_box + [1] * sc.n_cyl + [2] * sc.n_sph
+             + [3] * sc.n_tri)
+    kinds = np.asarray(kinds)
+    flops_ray = 0.0
+    for k in (0, 1, 2, 3):
+        nk = float(live[:, kinds == k].sum(axis=1).mean())
+        flops_ray += nk * (_FLOPS[k] + (_FLOPS["common"] if k != 2 else 0))
+    total_flops = flops_ray * R * num_envs
+    bytes_moved = num_envs * R * (12 + 4)   # dirs read + depth written
+
+    rec = {
+        "program": "pallas_raycast_depth",
+        "num_envs": num_envs, "rays": R,
+        "live_prims_per_env_mean": round(float(live.sum(1).mean()), 1),
+        "analytic_flops_per_ray": round(flops_ray, 1),
+        "wall_s_per_render": round(dt, 5),
+        "m_rays_per_s": round(num_envs * R / dt / 1e6, 1),
+        "achieved_vpu_tflops": round(total_flops / dt / 1e12, 3),
+        "vpu_f32_utilization_pct": round(
+            100 * total_flops / dt / V5E_VPU_F32_FLOPS, 1),
+        "hbm_GBps": round(bytes_moved / dt / 1e9, 2),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from aerial_gym_simulator_tpu.rl.ppo import enable_compilation_cache
+    enable_compilation_cache()
+    analyze_ppo()
+    analyze_render()
+
+
+if __name__ == "__main__":
+    main()
