@@ -218,39 +218,77 @@ def articulated_substep(params: SimParams, state: SimState,
             fb_base = fb_base + up
 
     # ------------------------------------------------------------------
-    # CRBA: joint-space inertia matrix H (N, 6+K, 6+K)
+    # mass matrix H (N, 6+K, 6+K) via base-frame body Jacobians:
+    #   H = sum_i m_i Wv_i^T Wv_i + Ww_i^T I_ci Ww_i
+    # where Ww/Wv map u = [w_b; v_b; qd] (base coords) to body angular /
+    # com-linear velocity. Scatter-free: columns assemble with trace-time
+    # stacks, bodies fold into two einsums — the CRBA-walk version built
+    # the same matrix with ~K^2 dynamic-update-slices, which dominated the
+    # snakey6 profile. This formulation is the one the autodiff
+    # kinetic-energy Hessian oracle checks directly
+    # (tests/test_articulated.py).
     # ------------------------------------------------------------------
-    Ic = [jnp.broadcast_to(I_body[i], (N, 6, 6)) for i in range(nb)]
-    Ic_base = jnp.broadcast_to(I_base, (N, 6, 6))
-    for i in range(nb - 1, -1, -1):
-        up = jnp.einsum("nji,njk,nkl->nil", X[i], Ic[i], X[i])
-        if art.parent[i] >= 0:
-            Ic[art.parent[i]] = Ic[art.parent[i]] + up
-        else:
-            Ic_base = Ic_base + up
-
     K = nb
-    H = jnp.zeros((N, 6 + K, 6 + K), f32)
-    H = H.at[:, 0:6, 0:6].set(Ic_base)
+    D = 6 + K
+    zcol = jnp.zeros((N, 3), f32)
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=f32), (N, 3, 3))
+    z33 = jnp.zeros((N, 3, 3), f32)
+
+    # static ancestor chains
+    ancestors = []
     for i in range(nb):
-        S_i = jnp.concatenate([art.axis[i], jnp.zeros(3, f32)])
-        F = jnp.einsum("nij,j->ni", Ic[i], S_i)            # (N,6)
-        H = H.at[:, 6 + i, 6 + i].set(
-            jnp.einsum("j,nj->n", S_i, F) + art.armature)
-        j = i
-        while art.parent[j] >= 0:
-            F = jnp.einsum("nji,nj->ni", X[j], F)
+        chain, j = [], i
+        while j >= 0:
+            chain.append(j)
             j = art.parent[j]
-            S_j = jnp.concatenate([art.axis[j], jnp.zeros(3, f32)])
-            h = jnp.einsum("j,nj->n", S_j, F)
-            H = H.at[:, 6 + i, 6 + j].set(h)
-            H = H.at[:, 6 + j, 6 + i].set(h)
-        F = jnp.einsum("nji,nj->ni", X[j], F)              # into base coords
-        H = H.at[:, 0:6, 6 + i].set(F)
-        H = H.at[:, 6 + i, 0:6].set(F)
+        ancestors.append(set(chain))
+
+    def _skew_batch(v):
+        return _skew(v)
+
+    # base-frame joint axes and COM positions
+    axis_b = [jnp.einsum("nij,j->ni", R0[i], art.axis[i]) for i in range(nb)]
+    com_b = [p0[i] + jnp.einsum("nij,j->ni", R0[i], art.com[i])
+             for i in range(nb)]
+
+    Wv_list, Ww_list, Ibar_list, m_list = [], [], [], []
+    # base body
+    c_b = jnp.broadcast_to(art.base_com, (N, 3))
+    Wv_list.append(jnp.concatenate(
+        [-_skew_batch(c_b), eye3] + [zcol[:, :, None]] * K, -1))
+    Ww_list.append(jnp.concatenate(
+        [eye3, z33] + [zcol[:, :, None]] * K, -1))
+    Ibar_list.append(jnp.broadcast_to(art.base_inertia, (N, 3, 3)))
+    m_list.append(art.base_mass)
+    for i in range(nb):
+        cols_v = [-_skew_batch(com_b[i]), eye3]
+        cols_w = [eye3, z33]
+        for k in range(nb):
+            if k in ancestors[i]:
+                cols_v.append(jnp.cross(axis_b[k],
+                                        com_b[i] - p0[k])[:, :, None])
+                cols_w.append(axis_b[k][:, :, None])
+            else:
+                cols_v.append(zcol[:, :, None])
+                cols_w.append(zcol[:, :, None])
+        Wv_list.append(jnp.concatenate(cols_v, -1))
+        Ww_list.append(jnp.concatenate(cols_w, -1))
+        Ibar_list.append(jnp.einsum("nij,jk,nlk->nil", R0[i],
+                                    art.inertia[i], R0[i]))
+        m_list.append(art.mass[i])
+
+    Wv = jnp.stack(Wv_list)                               # (B, N, 3, D)
+    Ww = jnp.stack(Ww_list)
+    Ibar = jnp.stack(Ibar_list)                           # (B, N, 3, 3)
+    m_arr = jnp.stack([jnp.asarray(m, f32) for m in m_list])  # (B,)
+    H = (jnp.einsum("b,bnxd,bnxe->nde", m_arr, Wv, Wv)
+         + jnp.einsum("bnxd,bnxy,bnye->nde", Ww, Ibar, Ww))
+    arm_diag = jnp.concatenate([jnp.zeros(6, f32),
+                                jnp.full((K,), art.armature, f32)])
+    H = H + jnp.diag(arm_diag)
 
     # ------------------------------------------------------------------
-    # joint drives (implicit damping) + solve
+    # joint drives (implicit damping) + SPD Cholesky solve
     # ------------------------------------------------------------------
     spring, damp, vel_ref = _joint_drive(dp, q, qd, state.dof_pos_target,
                                          state.dof_vel_target)
@@ -259,11 +297,17 @@ def articulated_substep(params: SimParams, state: SimState,
     H = H + jnp.concatenate(
         [jnp.zeros((N, 6), f32), dt * damp], -1)[:, :, None] * jnp.eye(6 + K)
 
+    def _spd_solve(A, b):
+        L = jnp.linalg.cholesky(A)
+        y = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            L, y, lower=True, trans=1)[..., 0]
+
     if rp.fix_base_link:
-        qdd = jnp.linalg.solve(H[:, 6:, 6:], rhs[:, 6:, None])[..., 0]
+        qdd = _spd_solve(H[:, 6:, 6:], rhs[:, 6:])
         acc = jnp.concatenate([jnp.zeros((N, 6), f32), qdd], -1)
     else:
-        acc = jnp.linalg.solve(H, rhs[:, :, None])[..., 0]
+        acc = _spd_solve(H, rhs)
 
     # ------------------------------------------------------------------
     # semi-implicit integration + engine damping/clamps + joint limits

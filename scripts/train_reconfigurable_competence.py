@@ -25,6 +25,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num_envs", type=int, default=4096)
     ap.add_argument("--total_steps", type=int, default=30_000_000)
+    ap.add_argument("--tasks", nargs="*", default=None,
+                    help="subset of task names (default: both)")
+    ap.add_argument("--append", action="store_true",
+                    help="append to --out instead of truncating")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
@@ -38,9 +42,11 @@ def main():
                                                  enable_compilation_cache)
     enable_compilation_cache()
 
-    open(args.out, "w").close()
-    for name in ("position_setpoint_task_reconfigurable",
-                 "position_setpoint_task_morphy"):
+    if not args.append:
+        open(args.out, "w").close()
+    names = args.tasks or ("position_setpoint_task_reconfigurable",
+                           "position_setpoint_task_morphy")
+    for name in names:
         task = ag.task_registry.make_task(name, num_envs=args.num_envs,
                                           seed=7)
         cfg = PPOConfig(num_envs=args.num_envs, horizon=32,
