@@ -119,27 +119,65 @@ def analyze_render(num_envs=1024, h=135, w=240, iters=20):
     jax.block_until_ready(depth)
     dt = (time.perf_counter() - t0) / iters
 
-    # live primitives after range culling (broad-phase visibility varies per
-    # tile; range-level liveness is the honest upper bound on narrow-phase
-    # work, cone culling only reduces it further)
-    centers = np.asarray(prims[:, :, 3:6])
+    # surviving narrow-phase work after the EXACT broad phase (range test +
+    # per-tile view-cone test, replicating _broadphase_mask in
+    # ops/raycast_pallas.py on the same tiling)
+    from aerial_gym_simulator_tpu.ops.raycast_pallas import _LANES, _TILE_ROWS
+    from aerial_gym_simulator_tpu.utils.math import quat_to_rotation_matrix
+
+    tile_rows = min(_TILE_ROWS, max(8, -(-R // _LANES // 8) * 8))
+    tile_rays = tile_rows * _LANES
+    R_pad = ((R + tile_rays - 1) // tile_rays) * tile_rays
+    dirs_np = np.asarray(dirs)
+    dirs_pad = np.concatenate(
+        [dirs_np, np.repeat(dirs_np[-1:], R_pad - R, 0)], 0)
+    tiles = R_pad // tile_rays
+    unit = dirs_pad.reshape(tiles, tile_rays, 3)
+    unit = unit / np.linalg.norm(unit, axis=-1, keepdims=True)
+    t_axis = unit.sum(1)
+    t_axis /= np.linalg.norm(t_axis, axis=-1, keepdims=True)
+    cos_half = np.clip(np.einsum("tj,trj->tr", t_axis, unit).min(1), -1, 1)
+    sin_half = np.sqrt(np.maximum(1 - cos_half**2, 0))
+
+    pn = np.asarray(prims)
+    centers = pn[:, :, 3:6]
+    sx, sy, sz = pn[:, :, 0], pn[:, :, 1], pn[:, :, 2]
+    P = pn.shape[1]
+    kinds = np.asarray([0] * sc.n_box + [1] * sc.n_cyl + [2] * sc.n_sph
+                       + [3] * sc.n_tri)
+    bound = np.where(kinds == 0, 0.5 * np.sqrt(sx**2 + sy**2 + sz**2),
+                     np.where(kinds == 1, np.sqrt(sx**2 + 0.25 * sy**2),
+                              np.where(kinds == 3,
+                                       np.maximum(sx, np.sqrt(sy**2 + sz**2)),
+                                       sx)))
     origin = np.asarray(state.pos)
-    d = np.linalg.norm(centers - origin[:, None, :], axis=-1)
-    live = d < 10.0 + 3.0
-    kinds = ([0] * sc.n_box + [1] * sc.n_cyl + [2] * sc.n_sph
-             + [3] * sc.n_tri)
-    kinds = np.asarray(kinds)
-    flops_ray = 0.0
-    for k in (0, 1, 2, 3):
-        nk = float(live[:, kinds == k].sum(axis=1).mean())
-        flops_ray += nk * (_FLOPS[k] + (_FLOPS["common"] if k != 2 else 0))
-    total_flops = flops_ray * R * num_envs
+    quat = np.asarray(state.quat)
+    u = centers - origin[:, None, :]
+    d2 = (u * u).sum(-1)
+    in_range = d2 < (10.0 + bound) ** 2
+    Rm = np.asarray(quat_to_rotation_matrix(jnp.asarray(quat)))
+    axis_w = np.einsum("nij,tj->nti", Rm, t_axis)
+    along = np.einsum("nti,npi->ntp", axis_w, u)
+    perp = np.sqrt(np.maximum(d2[:, None, :] - along**2, 0))
+    visible = (perp * cos_half[None, :, None]
+               - along * sin_half[None, :, None]) <= bound[:, None, :]
+    mask = in_range[:, None, :] & visible                    # (N, T, P)
+
+    flops_per_prim = np.array([_FLOPS[int(k)]
+                               + (_FLOPS["common"] if k != 2 else 0)
+                               for k in kinds])
+    total_flops = float((mask * flops_per_prim[None, None, :]).sum()
+                        * tile_rays)
+    flops_ray = total_flops / (R_pad * num_envs)
+    live_range = float(in_range.sum(1).mean())
+    survive = float(mask.mean()) / max(float(in_range.mean()), 1e-9)
     bytes_moved = num_envs * R * (12 + 4)   # dirs read + depth written
 
     rec = {
         "program": "pallas_raycast_depth",
         "num_envs": num_envs, "rays": R,
-        "live_prims_per_env_mean": round(float(live.sum(1).mean()), 1),
+        "in_range_prims_per_env_mean": round(live_range, 1),
+        "cone_survival_fraction": round(survive, 3),
         "analytic_flops_per_ray": round(flops_ray, 1),
         "wall_s_per_render": round(dt, 5),
         "m_rays_per_s": round(num_envs * R / dt / 1e6, 1),
