@@ -845,9 +845,17 @@ class PPOTrainer:
         # persistent-compilation cache).
         t_steady = None
         steps_steady = 0
-        pending = None  # deferred (iter, device metrics, dispatch time)
+        pending = None  # deferred (iter, device metrics)
 
-        def _emit(it, metrics, now):
+        def _emit(it, metrics):
+            # Completion-anchored timing: block on the (one-log-interval
+            # old) stashed metrics BEFORE reading the clock. Dispatch-time
+            # deltas are meaningless — the host can run many iterations
+            # ahead of the device, which once inflated logged sps 4-40x.
+            # The block throttles the host to at most one log interval of
+            # lead, which preserves the pipelining that the deferral buys.
+            jax.block_until_ready(metrics)
+            now = time.perf_counter()
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             m["iter"] = it
             m["env_steps"] = (it + 1) * steps_per_iter
@@ -856,9 +864,7 @@ class PPOTrainer:
             # definition changed from cumulative in round 1 (PERF.md); the
             # cumulative rate is kept under its own key. The first log
             # point falls back to THIS-RUN steps over this-run wall (on
-            # resume, env_steps includes pre-resume iterations). Timestamps
-            # are taken at dispatch; deltas between log points are what the
-            # sps uses, so steady-state values are unaffected by deferral.
+            # resume, env_steps includes pre-resume iterations).
             run_steps = m["env_steps"] - start_iter * steps_per_iter
             m["env_steps_per_s_cumulative"] = run_steps / max(m["wall_s"], 1e-9)
             dt = now - t_steady
@@ -898,7 +904,7 @@ class PPOTrainer:
                 # current device refs.
                 if pending is not None:
                     _emit(*pending)
-                pending = (it, metrics, time.perf_counter())
+                pending = (it, metrics)
         if pending is not None:
             _emit(*pending)
         writer.close()

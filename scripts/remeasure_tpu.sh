@@ -31,7 +31,7 @@ txt = open("/tmp/remeasure_ppo.log").read()
 sps = [int(m) for m in re.findall(r"sps (\d+)", txt)]
 rew = re.findall(r"reward\s+([-\d.]+)", txt)
 if sps:
-    json.dump({"metric": "position_ppo_env_steps_per_s", "value": max(sps),
+    json.dump({"metric": "position_ppo_env_steps_per_s", "value": sps[-1],
                "unit": "steps/s", "final_reward": float(rew[-1]) if rew else None},
               open(sys.argv[1], "a")); open(sys.argv[1], "a").write("\n")
 EOF
@@ -45,7 +45,7 @@ import json, re, sys
 txt = open(sys.argv[3]).read()
 sps = [int(m) for m in re.findall(r"sps (\d+)", txt)]
 if sps:
-    json.dump({"metric": sys.argv[2], "value": max(sps), "unit": "steps/s"},
+    json.dump({"metric": sys.argv[2], "value": sps[-1], "unit": "steps/s"},
               open(sys.argv[1], "a")); open(sys.argv[1], "a").write("\n")
 EOF
 
@@ -58,7 +58,7 @@ import json, re, sys
 txt = open(sys.argv[3]).read()
 sps = [int(m) for m in re.findall(r"sps (\d+)", txt)]
 if sps:
-    json.dump({"metric": sys.argv[2], "value": max(sps), "unit": "steps/s"},
+    json.dump({"metric": sys.argv[2], "value": sps[-1], "unit": "steps/s"},
               open(sys.argv[1], "a")); open(sys.argv[1], "a").write("\n")
 EOF
 

@@ -42,7 +42,7 @@ txt = open("/tmp/reval_nav_eval.log").read()
 m = re.findall(r"success (\d+) \((\d+)%\) crash (\d+) timeout (\d+)", txt)
 sps = [int(x) for x in re.findall(r"sps (\d+)", open("/tmp/reval_nav.log").read())]
 rec = {"metric": "navigation_e2e", "vae_s": $VAE_S, "ppo_s": $NAV_S,
-       "ppo_steps_per_s": max(sps) if sps else None}
+       "ppo_steps_per_s": sps[-1]  if sps else None}
 if m:
     s, pct, c, t = m[-1]
     rec.update(success=int(s), success_pct=int(pct), crash=int(c),
@@ -78,7 +78,7 @@ for i in range(800):
 tot = max(succ + crash + timo, 1)
 sps = [int(x) for x in re.findall(r"sps (\d+)", open("/tmp/reval_lidar.log").read())]
 rec = {"metric": "lidar_navigation_e2e", "ppo_s": $LIDAR_S,
-       "ppo_steps_per_s": max(sps) if sps else None,
+       "ppo_steps_per_s": sps[-1]  if sps else None,
        "success": succ, "success_pct": round(100.0 * succ / tot, 1),
        "crash": crash, "timeout": timo}
 open("$OUT", "a").write(json.dumps(rec) + "\n")
