@@ -27,6 +27,7 @@ or pass ``--viewer web`` to examples/position_control_example.py.
 from __future__ import annotations
 
 import json
+import queue
 import struct
 import threading
 import zlib
@@ -103,6 +104,13 @@ class WebViewer(LiveViewer):
         self._frame_no = 0
         self._steps = 0
         self._fps = 0.0
+        # key events arrive on HTTP handler threads but MUST be applied on
+        # the sim thread: on_key mutates env/jit state (reset() replaces the
+        # donated-state buffers env.step is concurrently consuming; _rejit
+        # swaps the render executable mid-call) — applying them inline
+        # crashed with "Buffer has been deleted or donated". The handler
+        # only enqueues; step_once drains.
+        self._keys: "queue.SimpleQueue[str]" = queue.SimpleQueue()
         # orbit state (fixed-camera offsets; rejit on change)
         self._azim = 0.0
         self._elev = 0.35
@@ -138,6 +146,15 @@ class WebViewer(LiveViewer):
             self._orbit(d_dist=0.5)
         else:
             super().on_key(key)
+
+    def step_once(self):
+        # apply queued browser key events on THIS (sim) thread first
+        while True:
+            try:
+                self.on_key(self._keys.get_nowait())
+            except queue.Empty:
+                break
+        return super().step_once()
 
     # -- serving -----------------------------------------------------------
     def _publish(self, frame: np.ndarray):
@@ -218,7 +235,8 @@ class WebViewer(LiveViewer):
                         key = json.loads(self.rfile.read(n)).get("key")
                     except (ValueError, AttributeError):
                         key = None
-                    viewer.on_key(key)
+                    if key is not None:
+                        viewer._keys.put(key)  # applied on the sim thread
                     self.send_response(204)
                     self.end_headers()
                 else:
@@ -244,7 +262,8 @@ class WebViewer(LiveViewer):
             while not self.quit and (max_steps is None
                                      or self._steps < max_steps):
                 frame = self.step_once()
-                self._steps += 1
+                if not self.paused:
+                    self._steps += 1  # sim steps, frozen while paused
                 if frame is not None:
                     self._publish(frame)
                     now = time.perf_counter()

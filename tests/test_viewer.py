@@ -114,7 +114,7 @@ def test_web_viewer_serves_stream_and_keys():
     wv = WebViewer(env, width=64, height=48, render_every=1)
     port = 18754
     th = threading.Thread(target=wv.run,
-                          kwargs=dict(port=port, max_steps=400), daemon=True)
+                          kwargs=dict(port=port, max_steps=5000), daemon=True)
     th.start()
     base = f"http://127.0.0.1:{port}"
 
@@ -151,6 +151,31 @@ def test_web_viewer_serves_stream_and_keys():
     assert s["env"] == 1 and s["mode"] == "fixed"
     assert not np.allclose(np.asarray(wv.viewer.camera_position), cam_before)
     assert b"aerial_gym_simulator_tpu" in get("/")
+
+    # regression (round 2): 'r' used to run env.reset() directly on the HTTP
+    # handler thread, racing env.step's donated state buffers on the sim
+    # thread ("Buffer has been deleted or donated"). Keys are now queued and
+    # applied on the sim thread — a burst of reset-alls mid-run must survive.
+    steps0 = wv._steps
+    for _ in range(5):
+        key("r")
+        time.sleep(0.05)
+    for _ in range(100):
+        if wv._steps > steps0 + 10:
+            break
+        time.sleep(0.2)
+    assert wv._steps > steps0 + 10 and not wv.quit and th.is_alive()
+
+    # pause freezes the sim-step counter (HUD honesty); unpause resumes
+    key("p")
+    for _ in range(50):
+        if json.loads(get("/status"))["paused"]:
+            break
+        time.sleep(0.1)
+    sp = wv._steps
+    time.sleep(0.5)
+    assert wv._steps == sp
+    key("p")
     key("q")
     th.join(timeout=60)
     assert not th.is_alive()
