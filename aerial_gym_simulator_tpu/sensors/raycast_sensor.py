@@ -316,6 +316,66 @@ def render_normal_faceid(params: SimParams, state: SimState,
             face.reshape(N, H, W), sem.reshape(N, H, W))
 
 
+# ---------------------------------------------------------------------------
+# RGB camera modality
+# ---------------------------------------------------------------------------
+
+# Albedo palette indexed by |segmentation id| (matches the offline viewer's
+# colorization so onboard RGB and the spectator view agree). numpy constant:
+# importing the package must not touch the XLA backend.
+SEG_ALBEDO = np.array([
+    [0.91, 0.30, 0.24], [0.18, 0.80, 0.44], [0.20, 0.60, 0.86],
+    [0.95, 0.77, 0.06], [0.61, 0.35, 0.71], [0.10, 0.74, 0.61],
+    [0.90, 0.49, 0.13], [0.52, 0.58, 0.65], [0.93, 0.94, 0.95],
+    [0.75, 0.22, 0.17],
+], np.float32)
+
+# overhead-ish sun, normalized at import time (numpy)
+_SUN_DIR = np.array([0.35, -0.25, 0.90], np.float32)
+_SUN_DIR /= np.linalg.norm(_SUN_DIR)
+_SKY_RGB = np.array([0.70, 0.80, 0.92], np.float32)
+_RGB_AMBIENT = 0.35
+
+
+def shade_rgb(depth, normals, face_id, seg, max_range):
+    """Lambertian shading of a primitive-soup render -> (N, H, W, 3) f32 in
+    [0, 1]: albedo from the segmentation palette, double-sided diffuse from
+    the world-frame surface normal, mild distance attenuation, sky where
+    nothing was hit. Pure jnp — runs inside the jitted step like every
+    other sensor op."""
+    albedo = jnp.asarray(SEG_ALBEDO)[jnp.abs(seg) % SEG_ALBEDO.shape[0]]
+    # double-sided: primitives are watertight solids, the camera may see
+    # either face orientation
+    lambert = jnp.abs(jnp.sum(normals * jnp.asarray(_SUN_DIR), axis=-1))
+    shade = _RGB_AMBIENT + (1.0 - _RGB_AMBIENT) * lambert
+    fade = 1.0 - 0.5 * jnp.clip(depth / max_range, 0.0, 1.0)
+    rgb = albedo * (shade * fade)[..., None]
+    hit = (face_id >= 0)[..., None]
+    return jnp.where(hit, rgb, jnp.asarray(_SKY_RGB))
+
+
+def render_rgb(params: SimParams, state: SimState, sp: RaySensorParams,
+               mount_pos, mount_quat):
+    """Onboard RGB capture — the modality the reference only had through
+    Isaac Gym's native camera (sensors/isaacgym_camera_sensor.py:137 reads
+    gymapi.IMAGE_COLOR; warp_sensor's own code says "At some point, RGB cam
+    support for Warp would be added on our end", isaacgym_camera_sensor.py:
+    136). Here it is one more shading of the unified ray-cast render, fully
+    on device.
+
+    Returns (rgb (N,H,W,3) f32 in [0,1], depth (N,H,W), seg (N,H,W)).
+    """
+    depth, normals, face, seg = render_normal_faceid(params, state, sp,
+                                                     mount_pos, mount_quat)
+    rgb = shade_rgb(depth, normals, face, seg, sp.max_range)
+    return rgb, depth, seg
+
+
+def render_rgb_camera(params: SimParams, state: SimState):
+    return render_rgb(params, state, params.camera,
+                      state.cam_mount_pos, state.cam_mount_quat)
+
+
 def render_normal_faceid_camera(params: SimParams, state: SimState):
     return render_normal_faceid(params, state, params.camera,
                                 state.cam_mount_pos, state.cam_mount_quat)

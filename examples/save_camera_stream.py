@@ -1,7 +1,11 @@
-"""Save rendered depth frames to disk (reference examples/save_camera_stream.py).
+"""Save rendered depth + RGB frames to disk (reference
+examples/save_camera_stream.py).
 
-Writes PGM depth images (no external image deps) while flying forward
-through the obstacle env.
+Writes PGM depth images and PPM RGB images (no external image deps) while
+flying forward through the obstacle env. The RGB stream is the modality the
+reference could only get from Isaac Gym's native camera
+(isaacgym_camera_sensor.py:136-137); here it is shaded on device from the
+same unified ray-cast render.
 """
 
 import os as _os, sys as _sys
@@ -26,6 +30,15 @@ def save_pgm(path: str, img01: np.ndarray):
         f.write(data.tobytes())
 
 
+def save_ppm(path: str, rgb01: np.ndarray):
+    """Write a [0,1] float RGB image as binary 8-bit PPM."""
+    h, w, _ = rgb01.shape
+    data = (np.clip(rgb01, 0.0, 1.0) * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(data.tobytes())
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out_dir", default="/tmp/aerial_gym_tpu_frames")
@@ -36,11 +49,15 @@ if __name__ == "__main__":
     task = ag.task_registry.make_task("navigation_task", num_envs=4, seed=3)
     task.reset()
     actions = jnp.tile(jnp.array([0.4, 0.0, 0.0, 0.0], jnp.float32), (4, 1))
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        render_camera, render_rgb_camera)
     for i in range(args.frames):
         task.step(actions)
-        # latest rendered depth image of env 0 via the sensor pipeline
-        from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+        # latest rendered depth + RGB images of env 0 via the sensor pipeline
         pixels, _ = render_camera(task.params, task.state)
+        rgb, _, _ = render_rgb_camera(task.params, task.state)
         save_pgm(os.path.join(args.out_dir, f"frame_{i:04d}.pgm"),
                  np.asarray(pixels[0]))
-    print(f"wrote {args.frames} frames to {args.out_dir}")
+        save_ppm(os.path.join(args.out_dir, f"rgb_frame_{i:04d}.ppm"),
+                 np.asarray(rgb[0]))
+    print(f"wrote {args.frames} depth + rgb frame pairs to {args.out_dir}")

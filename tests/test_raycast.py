@@ -157,3 +157,52 @@ def test_full_camera_render_wall():
     center = pixels[:, 67, 120]
     assert np.all(center > 0.0)  # wall ahead within range
     assert seg is not None and seg.shape == (2, 135, 240)
+
+
+def test_rgb_camera_render():
+    """Onboard RGB modality (round 2): the capture the reference only had
+    via Isaac Gym's native camera (isaacgym_camera_sensor.py:136-137) is a
+    shading of the unified ray-cast render — sky where nothing is hit,
+    palette-albedo Lambert shading where something is, jit-compatible."""
+    import jax
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        SEG_ALBEDO, _SKY_RGB, render_normal_faceid_camera, render_rgb_camera)
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=2, seed=0)
+    st = env.state
+    st = st.replace(pos=jnp.asarray([[0.0, 0.0, 0.0]] * 2, jnp.float32),
+                    quat=jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (2, 1)),
+                    cam_mount_pos=jnp.zeros((2, 3), jnp.float32),
+                    cam_mount_quat=jnp.tile(jnp.asarray([0, 0, 0, 1.0],
+                                                        jnp.float32), (2, 1)))
+    rgb, depth, seg = jax.jit(render_rgb_camera)(env.params, st)
+    rgb = np.asarray(rgb)
+    assert rgb.shape == (2, 135, 240, 3)
+    assert np.isfinite(rgb).all() and rgb.min() >= 0.0 and rgb.max() <= 1.0
+
+    # jit the reference capture too: eager XLA reassociates fp differently
+    # and can flip a hit test on a single grazing silhouette ray
+    ref_render = jax.jit(render_normal_faceid_camera)
+    depth_ref, _, face, seg_ref = ref_render(env.params, st)
+    face = np.asarray(face)
+    seg_ref = np.asarray(seg_ref)
+    miss = face < 0
+    hit = ~miss
+    assert hit.any()  # front wall guaranteed in view
+    # sky exactly where nothing was hit
+    if miss.any():
+        assert np.allclose(rgb[miss], _SKY_RGB, atol=1e-6)
+    # hit pixels carry their segmentation id's albedo hue: rgb is
+    # albedo * scalar, so channel ratios match the palette row
+    ij = tuple(a[0] for a in np.nonzero(hit))
+    px = rgb[ij]
+    alb = SEG_ALBEDO[abs(int(seg_ref[ij])) % len(SEG_ALBEDO)]
+    scale = px / alb
+    assert np.allclose(scale, scale.mean(), atol=1e-5)
+    assert 0.0 < scale.mean() <= 1.0 + 1e-6
+    # depth/seg passthrough agrees with the normal/faceid capture
+    assert np.allclose(np.asarray(depth), np.asarray(depth_ref))
+    assert np.array_equal(np.asarray(seg), seg_ref)
