@@ -133,7 +133,9 @@ class EnvManager:
         # global_tensor_dict["depth_range_pixels"] / "segmentation_pixels")
         self._sensor_frames = None
         self._sensor_seg = None
+        self._rgb_frames = None
         self._jit_render = None
+        self._jit_render_rgb = None
         self._render_key = None
         self.robot_manager = _RobotManagerHandle(self)
         self.reset()
@@ -196,6 +198,9 @@ class EnvManager:
             obs["depth_range_pixels"] = self._sensor_frames
         if self._sensor_seg is not None:
             obs["segmentation_pixels"] = self._sensor_seg
+        if self._rgb_frames is not None:
+            # reference robot_manager.py:160 (Isaac Gym native RGB camera)
+            obs["rgb_pixels"] = self._rgb_frames
         return obs
 
     @property
@@ -207,9 +212,21 @@ class EnvManager:
         EnvManager.render('sensors') -> capture_sensors); the frames land in
         get_obs()["depth_range_pixels"] (+ "segmentation_pixels" when the
         sensor produces one). Configured sensor noise IS applied — a fresh
-        capture key is drawn per call. No-op without a sensor."""
+        capture key is drawn per call. No-op without a sensor.
+
+        render_components="rgb" additionally captures an onboard RGB image
+        into get_obs()["rgb_pixels"] (reference global_tensor_dict key from
+        the Isaac Gym native camera, robot_manager.py:160) — here shaded
+        from the same ray-cast render (requires a camera sensor)."""
         if self.params.camera is None and self.params.lidar is None:
             return None
+        if "rgb" in render_components and self.params.camera is not None:
+            if self._jit_render_rgb is None:
+                from ..sensors.raycast_sensor import render_rgb_camera
+                params = self.params
+                self._jit_render_rgb = jax.jit(
+                    lambda s: render_rgb_camera(params, s)[0])
+            self._rgb_frames = self._jit_render_rgb(self.state)
         if self._jit_render is None:
             from ..sensors.raycast_sensor import render_camera, render_lidar
             fn = render_camera if self.params.camera is not None else render_lidar
@@ -280,6 +297,7 @@ class EnvManager:
             self._render_key = None
         self._sensor_frames = None
         self._sensor_seg = None
+        self._rgb_frames = None
         logger.info(f"sim state loaded from {path}")
 
     def log_memory_use(self):

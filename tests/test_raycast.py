@@ -206,3 +206,28 @@ def test_rgb_camera_render():
     # depth/seg passthrough agrees with the normal/faceid capture
     assert np.allclose(np.asarray(depth), np.asarray(depth_ref))
     assert np.array_equal(np.asarray(seg), seg_ref)
+
+
+def test_env_manager_obs_dict_render_keys():
+    """EnvManager.get_obs() exposes the reference global_tensor_dict render
+    keys: depth_range_pixels/segmentation_pixels after render(), and
+    rgb_pixels after render('rgb') (reference robot_manager.py:160)."""
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=2, seed=0)
+    env.reset()
+    obs = env.get_obs()
+    assert "depth_range_pixels" not in obs  # nothing captured yet
+    env.render()
+    obs = env.get_obs()
+    assert obs["depth_range_pixels"].shape == (2, 135, 240)
+    assert "rgb_pixels" not in obs
+    env.render("rgb")
+    obs = env.get_obs()
+    rgb = np.asarray(obs["rgb_pixels"])
+    assert rgb.shape == (2, 135, 240, 3)
+    assert np.isfinite(rgb).all() and rgb.min() >= 0.0 and rgb.max() <= 1.0
+    # parity scalars stay present
+    assert obs["num_envs"] == 2 and "env_bounds_min" in obs
