@@ -220,13 +220,23 @@ class EnvManager:
         from the same ray-cast render (requires a camera sensor)."""
         if self.params.camera is None and self.params.lidar is None:
             return None
-        if "rgb" in render_components and self.params.camera is not None:
-            if self._jit_render_rgb is None:
-                from ..sensors.raycast_sensor import render_rgb_camera
-                params = self.params
-                self._jit_render_rgb = jax.jit(
-                    lambda s: render_rgb_camera(params, s)[0])
-            self._rgb_frames = self._jit_render_rgb(self.state)
+        if "rgb" in render_components:
+            if self.params.camera is None:
+                # don't leave callers guessing why rgb_pixels never appears
+                logger.warning("render('rgb') requested but no camera sensor "
+                               "is configured — rgb_pixels will not be "
+                               "captured (lidar-only robot)")
+            else:
+                if self._jit_render_rgb is None:
+                    from ..sensors.raycast_sensor import render_rgb_camera
+                    params = self.params
+                    self._jit_render_rgb = jax.jit(
+                        lambda s: render_rgb_camera(params, s)[0])
+                self._rgb_frames = self._jit_render_rgb(self.state)
+        elif self._rgb_frames is not None:
+            # a plain render() advances depth but not rgb: drop the stale rgb
+            # frame rather than let get_obs() pair it with a newer depth image
+            self._rgb_frames = None
         if self._jit_render is None:
             from ..sensors.raycast_sensor import render_camera, render_lidar
             fn = render_camera if self.params.camera is not None else render_lidar

@@ -246,9 +246,14 @@ class WebViewer(LiveViewer):
         return Handler
 
     def run(self, port: int = 8750, max_steps: Optional[int] = None,
-            host: str = "127.0.0.1"):
+            host: str = "127.0.0.1", max_paused_s: float = 600.0):
         """Blocking loop: simulate + render on this thread (JAX stays
-        single-threaded), serve frames from daemon threads."""
+        single-threaded), serve frames from daemon threads.
+
+        max_steps counts SIM steps (frozen while paused); bounded runs
+        (scripted captures, tests) additionally terminate after
+        ``max_paused_s`` cumulative seconds spent paused so a forgotten
+        pause cannot make a bounded run loop forever."""
         import time
 
         server = ThreadingHTTPServer((host, port), self._make_handler())
@@ -258,9 +263,11 @@ class WebViewer(LiveViewer):
                     f"(R reset | P pause | F follow | [ ] env | S sync | "
                     f"arrows orbit | +/- zoom)")
         t_last = time.perf_counter()
+        paused_s = 0.0
         try:
             while not self.quit and (max_steps is None
-                                     or self._steps < max_steps):
+                                     or (self._steps < max_steps
+                                         and paused_s < max_paused_s)):
                 frame = self.step_once()
                 if not self.paused:
                     self._steps += 1  # sim steps, frozen while paused
@@ -271,6 +278,7 @@ class WebViewer(LiveViewer):
                     t_last = now
                 if self.paused:
                     time.sleep(0.05)
+                    paused_s += 0.05
         finally:
             self.quit = True
             with self._frame_lock:
