@@ -78,3 +78,19 @@ def run_dryrun(n_devices: int) -> None:
     print(f"dryrun_multichip OK (navigation): {n_devices} devices, "
           f"{nav_envs} envs, render+VAE in the sharded rollout, "
           f"reward_mean={float(hist[-1]['reward_mean']):.3f}")
+
+    # --- phase 3: REAL multi-process cluster (2 procs x 2 CPU devices):
+    # coordinator bootstrap, cross-process gloo collectives in the train
+    # step, multi-process orbax roundtrip. Subprocess-based, so the
+    # virtual-device flags of THIS process don't leak in. Opt out with
+    # AG_TPU_SKIP_MULTIPROC=1 (e.g. resource-constrained CI).
+    import os
+
+    if os.environ.get("AG_TPU_SKIP_MULTIPROC", "0") != "1":
+        from .multiproc import launch_cluster
+
+        summary = launch_cluster(num_processes=2, local_devices=2)
+        print(f"dryrun_multichip OK (multi-process): "
+              f"{summary['num_processes']} processes x "
+              f"{summary['local_devices_per_process']} devices, "
+              f"cross-process train step + orbax roundtrip verified")

@@ -42,6 +42,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(value, sharding: NamedSharding):
+    """device_put that also works when `sharding` spans other PROCESSES.
+
+    Single-process meshes take the fast jax.device_put path. On a
+    multi-process mesh a committed process-local array cannot be
+    device_put onto non-addressable devices; every process holds the same
+    full value (same seeds everywhere), so each builds its addressable
+    shards from the host copy (jax.make_array_from_callback — the
+    standard multi-host array construction)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(value, sharding)
+    host = np.asarray(value)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
 def shard_env_pytree(tree, mesh: Mesh, num_envs: Optional[int] = None):
     """Shard env-batched leaves over the env axis; replicate the rest.
 
@@ -56,7 +72,7 @@ def shard_env_pytree(tree, mesh: Mesh, num_envs: Optional[int] = None):
         dims = Counter(l.shape[0] for l in leaves
                        if hasattr(l, "shape") and len(l.shape) >= 1)
         if not dims:
-            return jax.device_put(tree, replicated(mesh))
+            return replicate_pytree(tree, mesh)
         num_envs = dims.most_common(1)[0][0]
     sh = env_sharding(mesh)
     rep = replicated(mesh)
@@ -64,10 +80,11 @@ def shard_env_pytree(tree, mesh: Mesh, num_envs: Optional[int] = None):
     def place(leaf):
         batched = (hasattr(leaf, "shape") and len(leaf.shape) >= 1
                    and leaf.shape[0] == num_envs)
-        return jax.device_put(leaf, sh if batched else rep)
+        return put_sharded(leaf, sh if batched else rep)
 
     return jax.tree_util.tree_map(place, tree)
 
 
 def replicate_pytree(tree, mesh: Mesh):
-    return jax.device_put(tree, replicated(mesh))
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda l: put_sharded(l, rep), tree)

@@ -1,0 +1,274 @@
+"""Real multi-PROCESS cluster bring-up and proof (SURVEY 5.8; BASELINE
+multi-host axis).
+
+The virtual 8-device mesh (parallel/dryrun.py) proves the sharding layout
+inside ONE process; this module executes the code a physical multi-host
+slice hits first and that no single-process test can reach:
+
+  * coordinator bootstrap through :func:`distributed.initialize_multihost`
+    (jax.distributed.initialize with an explicit coordinator),
+  * a global mesh whose devices span processes (non-addressable shards),
+  * cross-process collectives inside the fused PPO train step (the gradient
+    all-reduce crosses the process boundary — gloo over TCP on the CPU
+    cluster here, ICI on a real TPU pod),
+  * an orbax full-training-state save/restore in which every process
+    participates (each writes/reads only its own shards).
+
+Reference analog: the horovod/NCCL multi-GPU bootstrap the reference wires
+through rl-games (rl_training/rl_games/runner.py:260-265) — replaced by
+jax.distributed + shardings; this harness is the executed proof.
+
+Worker (one per process):
+    python -m aerial_gym_simulator_tpu.parallel.multiproc \
+        --process_id 0 --num_processes 2 \
+        --coordinator 127.0.0.1:NNNN --local_devices 2
+
+Launcher (spawns the whole local cluster, checks every worker, prints one
+summary JSON line):
+    python -m aerial_gym_simulator_tpu.parallel.multiproc --launch 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+# ---------------------------------------------------------------------------
+# worker
+# ---------------------------------------------------------------------------
+
+
+def run_worker(process_id: int, num_processes: int, coordinator: str,
+               local_devices: int, ckpt_dir: str) -> None:
+    """One cluster process: bootstrap, sharded train step, collective
+    verification, orbax roundtrip. Asserts loudly; exit code is the test."""
+    import jax
+
+    # CPU cluster configuration MUST land before first backend use. The
+    # axon TPU plugin ignores the JAX_PLATFORMS env var, so force the
+    # platform through config (same pattern as tests/conftest.py).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    # gloo = jaxlib's built-in TCP collectives backend for multi-process
+    # CPU; on a real TPU pod collectives ride ICI and this knob is unused.
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from .distributed import initialize_multihost
+
+    initialize_multihost(coordinator_address=coordinator,
+                         num_processes=num_processes,
+                         process_id=process_id, require=True)
+
+    assert jax.process_count() == num_processes, (
+        f"expected {num_processes} processes, backend sees "
+        f"{jax.process_count()}")
+    n_global = num_processes * local_devices
+    assert jax.device_count() == n_global
+    assert jax.local_device_count() == local_devices
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import ENV_AXIS, make_mesh, put_sharded
+
+    mesh = make_mesh()
+    env_sh = NamedSharding(mesh, P(ENV_AXIS))
+    rep_sh = NamedSharding(mesh, P())
+
+    # -- collective sanity: a global arange sharded over processes must
+    # reduce to the analytic sum (the jitted replicated-out sum is an
+    # all-reduce across the process boundary)
+    n_elem = 8 * n_global
+    arange = np.arange(n_elem, dtype=np.float32)
+    garr = put_sharded(arange, env_sh)
+    assert not garr.sharding.is_fully_addressable  # really cross-process
+    total = jax.jit(jnp.sum, out_shardings=rep_sh)(garr)
+    total = float(jax.device_get(total.addressable_data(0)))
+    expect = float(n_elem * (n_elem - 1) / 2)
+    assert total == expect, (total, expect)
+    print(f"[mp {process_id}] collectives ok: global sum {total:.0f} over "
+          f"{n_global} devices / {num_processes} processes", flush=True)
+
+    # -- the production path: fused PPO train step, env-sharded sim +
+    # replicated learner, gradient all-reduce across processes
+    import aerial_gym_simulator_tpu as ag
+    from ..rl.ppo import PPOConfig, PPOTrainer
+    from .distributed import shard_trainer
+
+    num_envs = 4 * n_global
+    task = ag.task_registry.make_task("position_setpoint_task",
+                                      num_envs=num_envs, seed=0)
+    cfg = PPOConfig(num_envs=num_envs, horizon=4,
+                    minibatch_size=num_envs * 4 // 2, epochs=2, seed=0)
+    trainer = PPOTrainer(task, cfg)
+    shard_trainer(trainer)
+
+    assert not trainer.env_carry.pos.sharding.is_fully_addressable, (
+        "sim state does not span processes")
+
+    hist = trainer.train(total_env_steps=num_envs * cfg.horizon * 2,
+                         log_every=1)
+    rmean = float(hist[-1]["reward_mean"])
+    assert np.isfinite(rmean)
+
+    # every process must see the SAME learner after the all-reduce: gather
+    # a parameter norm from all processes and compare
+    pnorm = jnp.sqrt(sum(jnp.sum(p * p) for p in
+                         jax.tree_util.tree_leaves(trainer.train_state.params)))
+    pnorm_host = np.float32(jax.device_get(pnorm.addressable_data(0)))
+    pnorm_all = np.asarray(multihost_utils.process_allgather(pnorm_host))
+    assert np.allclose(pnorm_all, pnorm_all[0], rtol=0, atol=0), pnorm_all
+    print(f"[mp {process_id}] train step ok: reward_mean={rmean:.3f}, "
+          f"param_norm identical across processes ({pnorm_all[0]:.6f})",
+          flush=True)
+
+    # -- orbax multi-process save/restore roundtrip: every process
+    # participates; restore re-lays-out onto this job's shardings
+    trainer.save_training_state(ckpt_dir)
+    params_before = jax.device_get(
+        jax.tree_util.tree_map(lambda p: p.addressable_data(0),
+                               trainer.train_state.params))
+    pos_before = np.asarray(
+        multihost_utils.process_allgather(trainer.env_carry.pos, tiled=True))
+    # perturb, then restore must bring the exact state back
+    trainer.train_state = trainer.train_state.replace(
+        params=jax.tree_util.tree_map(lambda p: p + 1.0,
+                                      trainer.train_state.params))
+    resumed_iter = trainer.restore_training_state(ckpt_dir)
+    params_after = jax.device_get(
+        jax.tree_util.tree_map(lambda p: p.addressable_data(0),
+                               trainer.train_state.params))
+    for b, a in zip(jax.tree_util.tree_leaves(params_before),
+                    jax.tree_util.tree_leaves(params_after)):
+        assert np.array_equal(b, a)
+    pos_after = np.asarray(
+        multihost_utils.process_allgather(trainer.env_carry.pos, tiled=True))
+    assert np.array_equal(pos_before, pos_after)
+    print(f"[mp {process_id}] orbax roundtrip ok (resumed iter "
+          f"{resumed_iter})", flush=True)
+
+    # one more sharded train step AFTER restore: the restored arrays carry
+    # working shardings (this is where a bad restore layout would explode)
+    hist2 = trainer.train(total_env_steps=num_envs * cfg.horizon,
+                          log_every=1)
+    assert np.isfinite(float(hist2[-1]["reward_mean"]))
+    multihost_utils.sync_global_devices("multiproc_done")
+    print(f"MULTIPROC_WORKER_OK {process_id}/{num_processes} "
+          f"devices={n_global}", flush=True)
+
+
+# ---------------------------------------------------------------------------
+# launcher
+# ---------------------------------------------------------------------------
+
+
+def launch_cluster(num_processes: int = 2, local_devices: int = 2,
+                   timeout_s: float = 900.0, verbose: bool = True) -> dict:
+    """Spawn a local num_processes-process cluster of this module and
+    verify every worker. Returns a summary dict (also printed as one JSON
+    line). Raises on any worker failure — a silently skipped multi-process
+    path is worse than a loud one."""
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    ckpt_dir = tempfile.mkdtemp(prefix="mp_ckpt_")
+    env = dict(os.environ)
+    # the workers own their device count; a forced host-platform count
+    # inherited from a dryrun harness would override it
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("JAX_PLATFORMS", None)  # workers force cpu via config
+
+    procs = []
+    for pid in range(num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m",
+             "aerial_gym_simulator_tpu.parallel.multiproc",
+             "--process_id", str(pid),
+             "--num_processes", str(num_processes),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--local_devices", str(local_devices),
+             "--ckpt_dir", ckpt_dir],
+            cwd=repo_root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+    outputs = []
+    ok = True
+    try:
+        for pid, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                p.kill()       # exact PID only — never pattern-kill
+                out, _ = p.communicate()
+                ok = False
+            outputs.append(out or "")
+            if p.returncode != 0:
+                ok = False
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    markers = [f"MULTIPROC_WORKER_OK {pid}/{num_processes}" in outputs[pid]
+               for pid in range(num_processes)]
+    summary = {
+        "multiproc_cluster": "ok" if ok and all(markers) else "FAILED",
+        "num_processes": num_processes,
+        "local_devices_per_process": local_devices,
+        "global_devices": num_processes * local_devices,
+        "collectives": "gloo",
+        "train_step_cross_process": bool(ok and all(markers)),
+        "orbax_multiprocess_roundtrip": bool(ok and all(markers)),
+    }
+    if verbose:
+        print(json.dumps(summary), flush=True)
+    if not (ok and all(markers)):
+        for pid, out in enumerate(outputs):
+            tail = "\n".join(out.splitlines()[-25:])
+            print(f"--- worker {pid} (rc={procs[pid].returncode}) ---\n{tail}",
+                  file=sys.stderr, flush=True)
+        raise RuntimeError("multi-process cluster FAILED (see worker logs)")
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--launch", type=int, default=None, metavar="N",
+                    help="spawn an N-process local cluster and verify it")
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--local_devices", type=int, default=2)
+    ap.add_argument("--ckpt_dir", default=None)
+    args = ap.parse_args(argv)
+    if args.launch is not None:
+        launch_cluster(args.launch, args.local_devices)
+        return
+    if args.process_id is None or args.coordinator is None:
+        ap.error("worker mode needs --process_id and --coordinator "
+                 "(or use --launch N)")
+    ckpt = args.ckpt_dir or os.path.join(tempfile.gettempdir(), "mp_ckpt")
+    run_worker(args.process_id, args.num_processes, args.coordinator,
+               args.local_devices, ckpt)
+
+
+if __name__ == "__main__":
+    main()

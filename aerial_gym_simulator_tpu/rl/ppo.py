@@ -647,8 +647,8 @@ class PPOTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        ckptr.save(os.path.abspath(dir_path), self._learner_bundle(),
-                   force=True)
+        ckptr.save(os.path.abspath(dir_path),
+                   self._globalize(self._learner_bundle()), force=True)
         ckptr.wait_until_finished()
         logger.info(f"orbax checkpoint saved to {dir_path}")
 
@@ -658,7 +658,7 @@ class PPOTrainer:
         ckptr = ocp.StandardCheckpointer()
         try:
             restored = ckptr.restore(os.path.abspath(dir_path),
-                                     self._learner_bundle())
+                                     self._globalize(self._learner_bundle()))
         except Exception as e:
             raise RuntimeError(_RESTORE_HINT) from e
         self.train_state = self.train_state.replace(
@@ -701,6 +701,28 @@ class PPOTrainer:
             lambda x: jnp.zeros((1,), jnp.asarray(x).dtype)
             if np.size(x) == 0 else x, tree)
 
+    @staticmethod
+    def _globalize(tree):
+        """Multi-process orbax requires every leaf to be a GLOBAL array:
+        a process-local (fully-addressable) leaf — the iteration scalar,
+        the zero-size placeholders, anything the user never sharded —
+        cannot be serialized when other processes also save. Replicate
+        such leaves over the global mesh; no-op in single-process runs."""
+        if jax.process_count() <= 1:
+            return tree
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(Mesh(np.asarray(jax.devices()), ("_r",)), P())
+
+        def fix(x):
+            if isinstance(x, jax.Array) and x.sharding.is_fully_addressable:
+                host = np.asarray(jax.device_get(x))
+                return jax.make_array_from_callback(
+                    host.shape, rep, lambda idx, h=host: h[idx])
+            return x
+
+        return jax.tree_util.tree_map(fix, tree)
+
     def _elastic_manager(self, dir_path: str):
         import orbax.checkpoint as ocp
 
@@ -720,7 +742,7 @@ class PPOTrainer:
 
         with self._elastic_manager(dir_path) as mgr:
             mgr.save(self._iter, args=ocp.args.StandardSave(
-                self._pack_empty(self._elastic_bundle())))
+                self._globalize(self._pack_empty(self._elastic_bundle()))))
             mgr.wait_until_finished()
         logger.info(f"elastic checkpoint saved to {dir_path} "
                     f"(iter {self._iter})")
@@ -741,7 +763,7 @@ class PPOTrainer:
                 return 0
             try:
                 restored = mgr.restore(latest, args=ocp.args.StandardRestore(
-                    self._pack_empty(bundle)))
+                    self._globalize(self._pack_empty(bundle))))
             except Exception as e:
                 raise RuntimeError(_RESTORE_HINT) from e
         # zero-size leaves were saved as placeholders — keep ours instead

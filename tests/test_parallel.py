@@ -132,3 +132,22 @@ def test_sharded_bptt_update_runs(devices_ok):
     hist = trainer.train(log_every=1)
     assert np.isfinite(hist[-1]["task_reward"])
     assert len(trainer.carry.pos.sharding.device_set) == 8
+
+
+def test_multiprocess_cluster_end_to_end():
+    """REAL multi-process jax.distributed cluster (round-3 item: the one
+    BASELINE axis — >=2 hosts — whose code had never executed): 2 local
+    processes x 2 CPU devices bootstrap a coordinator through
+    initialize_multihost, run the fused PPO train step with the gradient
+    all-reduce crossing the process boundary (gloo), verify the learner is
+    bit-identical across processes, and roundtrip the full training state
+    through a multi-process orbax save/restore. Subprocess-based and
+    skip-less — any worker failure fails this test with the worker logs."""
+    from aerial_gym_simulator_tpu.parallel.multiproc import launch_cluster
+
+    summary = launch_cluster(num_processes=2, local_devices=2,
+                             verbose=False)
+    assert summary["multiproc_cluster"] == "ok"
+    assert summary["global_devices"] == 4
+    assert summary["train_step_cross_process"]
+    assert summary["orbax_multiprocess_roundtrip"]
