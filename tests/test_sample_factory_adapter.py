@@ -114,3 +114,97 @@ def test_sample_factory_end_to_end_1k_steps(tmp_path):
     cfg = parse_full_cfg(parser, argv=argv)
     status = run_rl(cfg)
     assert status == 0
+
+
+def test_transcript_conformance():
+    """Replay the pinned sample-factory protocol transcript
+    (tests/data/sf_protocol_transcript.json — VERDICT r2 item 6) against
+    the adapter: argv -> resolved cfg through a real argparse round, the
+    per-agent space contract sample-factory builds its actor-critic from,
+    and the exact call sequence with dtype/shape/arity checks, including
+    torch-tensor actions (sf batched mode hands torch over) and bool
+    terminated/truncated (sf bitwise-ors them). Regenerate the transcript
+    from the real library with scripts/capture_sf_transcript.py."""
+    import json
+    import os
+
+    import torch
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "sf_protocol_transcript.json")
+    with open(path) as f:
+        tr = json.load(f)
+
+    # --- argv -> cfg: rebuild the parser the way sample-factory would and
+    # check the adapter's overrides resolve to the pinned values
+    parser = argparse.ArgumentParser()
+    for key, val in sfmod.SF_BASE_DEFAULTS.items():
+        parser.add_argument(f"--{key}", default=None,
+                            type=type(val) if not isinstance(val, bool)
+                            else lambda s: s == "True")
+    for key in ("encoder_mlp_layers", "rnn_num_layers", "rnn_size",
+                "rnn_type", "env", "experiment"):
+        parser.add_argument(f"--{key}", default=None)
+    sfmod.add_extra_params_func(parser)
+    env_name = [a.split("=", 1)[1] for a in tr["argv"]
+                if a.startswith("--env=")][0]
+    sfmod.override_default_params_func(env_name, parser)
+    cfg = parser.parse_args(tr["argv"])
+    for key, want in tr["resolved_cfg"].items():
+        got = getattr(cfg, key)
+        assert got == want or str(got) == str(want), (key, got, want)
+
+    # --- env construction + space contract
+    env = sfmod.make_aerialgym_env(env_name, cfg=cfg)
+    ec = tr["env_contract"]
+    assert env.num_agents == ec["num_agents"]
+    assert sorted(env.observation_space.spaces) == \
+        ec["observation_space"]["keys"]
+    box = env.observation_space["obs"]
+    assert list(box.shape) == ec["observation_space"]["obs"]["shape"]
+    assert str(box.dtype) == ec["observation_space"]["obs"]["dtype"]
+    act = env.action_space
+    assert list(act.shape) == ec["action_space"]["shape"]
+    assert float(act.low.min()) == ec["action_space"]["low"]
+    assert float(act.high.max()) == ec["action_space"]["high"]
+    if ec["render_mode_attr"]:
+        assert hasattr(env, "render_mode")
+
+    # --- call sequence
+    def check_step_returns(out, want):
+        assert len(out) == want["tuple_len"]
+        obs, rew, term, trunc, infos = out
+        assert sorted(obs.keys()) == want["obs"]["keys"]
+        assert list(obs["obs"].shape) == want["obs"]["obs_shape"]
+        assert str(obs["obs"].dtype) == want["obs"]["obs_dtype"]
+        assert list(rew.shape) == want["rew"]["shape"]
+        assert str(rew.dtype) == want["rew"]["dtype"]
+        assert str(term.dtype) == want["terminated"]["dtype"]
+        assert str(trunc.dtype) == want["truncated"]["dtype"]
+        # sf bitwise-ors them — must not raise, must be bool
+        dones = term | trunc
+        assert dones.dtype == np.bool_
+
+    for call in tr["calls"]:
+        if call["call"] == "reset":
+            out = env.reset(**call.get("kwargs", {}))
+            want = call["returns"]
+            assert len(out) == want["tuple_len"]
+            obs, info = out
+            assert sorted(obs.keys()) == want["obs"]["keys"]
+            assert list(obs["obs"].shape) == want["obs"]["obs_shape"]
+            assert str(obs["obs"].dtype) == want["obs"]["obs_dtype"]
+            assert type(info).__name__ == want["info_type"]
+        elif call["call"] == "step":
+            spec = call["actions"]
+            for _ in range(call.get("repeat", 1)):
+                if spec["kind"] == "torch":
+                    actions = torch.zeros(tuple(spec["shape"]),
+                                          dtype=torch.float32)
+                else:
+                    actions = np.zeros(tuple(spec["shape"]),
+                                       dtype=spec["dtype"])
+                out = env.step(actions)
+                check_step_returns(out, call["returns"])
+        elif call["call"] == "close":
+            env.close()
