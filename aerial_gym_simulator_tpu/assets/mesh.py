@@ -25,10 +25,13 @@ from typing import List, Tuple
 
 import numpy as np
 
-# default per-mesh triangle budget; override with the env var (the budget
-# multiplies every ray's narrow-phase work, so it is a render-cost knob)
+# default per-mesh triangle budget; override with the env var. Render cost
+# scales with VISIBLE triangles, not the budget: the Pallas kernel sweeps
+# triangles in 64-chunk groups behind one scalar visibility bit each
+# (ops/raycast_pallas.py TRI_GROUP — the BVH analog), so a large culled
+# mesh costs n_tri/64 scalar tests per ray tile.
 DEFAULT_TRIANGLE_BUDGET = int(os.environ.get(
-    "AERIAL_GYM_TPU_MESH_TRIANGLE_BUDGET", "256"))
+    "AERIAL_GYM_TPU_MESH_TRIANGLE_BUDGET", "2048"))
 
 
 def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:

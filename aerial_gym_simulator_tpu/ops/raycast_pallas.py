@@ -12,10 +12,13 @@ Layout:
   grid = (num_envs, ray_tiles); ray tile = (64, 128) = 8192 rays.
   dirs/mult: (ray_rows, 128) f32 static tables (sensor frame).
   pose:  (N, 1, 8)  [ox oy oz qx qy qz qw pad]      -> SMEM
-  prims: (N, P, 19) [sx sy sz px py pz r00..r22 sem rox roy roz] -> SMEM
-         (rox..roz = sensor origin pre-transformed into the prim frame)
-  mask:  (N*T, 1, P) i32 broad-phase visibility   -> SMEM
-         (range + per-tile view-cone tests, precomputed on the VPU)
+  prims: (N, 19, P) [sx sy sz px py pz r00..r22 sem rox roy roz] -> SMEM
+         (rox..roz = sensor origin pre-transformed into the prim frame;
+         ATTRIBUTE-major: SMEM pads the minor dim to 128 lanes, so this
+         costs 19 padded rows total instead of 512 B per primitive)
+  mask:  (N*T, 1, P[+G]) i32 broad-phase visibility   -> SMEM
+         (range + per-tile view-cone tests, precomputed on the VPU;
+         G trailing group bits when the two-level triangle sweep is on)
   out:   depth (N, ray_rows, 128) f32, seg (N, ray_rows, 128) i32.
 """
 
@@ -41,6 +44,14 @@ _BIG = 1e10
 _TILE_ROWS = 64
 _LANES = 128
 TILE_RAYS = _TILE_ROWS * _LANES
+
+# two-level triangle culling (reference BVH analog, warp_env_manager.py:
+# 162-166): triangles are swept in chunks of this size, each chunk guarded
+# by ONE scalar group-visibility bit (OR of its members' broad-phase bits,
+# precomputed on the VPU). Scene triangles are laid out contiguously per
+# mesh asset, so chunks are spatially coherent and a culled mesh costs
+# n_tri/64 scalar tests instead of n_tri. Enabled from 2 groups up.
+TRI_GROUP = 64
 
 
 def _quat_rotate_tile(qx, qy, qz, qw, vx, vy, vz):
@@ -68,13 +79,26 @@ def _safe_inv(x):
     return y * (2.0 - x * y)
 
 
+def _safe_inv_scalar(x):
+    """Guarded reciprocal for SCALARS (pl.reciprocal only lowers for
+    vectors; one scalar-core divide per primitive is free anyway)."""
+    x = jnp.where(jnp.abs(x) < 1e-12, jnp.where(x < 0, -1e-12, 1e-12), x)
+    return 1.0 / x
+
+
 def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
-                 max_range: float, tile_rows: int, want_seg: bool = True):
+                 max_range: float, tile_rows: int, want_seg: bool = True,
+                 want_normals: bool = False):
     P = n_box + n_cyl + n_sph + n_tri
 
     def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
                *outs):
-        if want_seg:
+        f_scr = nx_scr = ny_scr = nz_scr = None
+        face_ref = onx_ref = ony_ref = onz_ref = None
+        if want_normals:
+            (depth_ref, seg_ref, face_ref, onx_ref, ony_ref, onz_ref,
+             t_scr, s_scr, f_scr, nx_scr, ny_scr, nz_scr) = outs
+        elif want_seg:
             depth_ref, seg_ref, t_scr, s_scr = outs
         else:
             depth_ref, t_scr = outs
@@ -91,9 +115,14 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                                           dx_ref[:], dy_ref[:], dz_ref[:])
 
         t_scr[:] = jnp.full((tile_rows, _LANES), _BIG, jnp.float32)
-        if want_seg:
+        if want_seg or want_normals:
             s_scr[:] = jnp.full((tile_rows, _LANES),
                                 float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
+        if want_normals:
+            f_scr[:] = jnp.full((tile_rows, _LANES), -1.0, jnp.float32)
+            nx_scr[:] = jnp.zeros((tile_rows, _LANES), jnp.float32)
+            ny_scr[:] = jnp.zeros((tile_rows, _LANES), jnp.float32)
+            nz_scr[:] = jnp.zeros((tile_rows, _LANES), jnp.float32)
 
         def in_reach(p):
             """Scalar broad phase: one SMEM read per primitive.
@@ -109,20 +138,20 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             return mask_ref[0, 0, p] != 0
 
         def prim_common(p):
-            sx = prim_ref[0, p, 0]
-            sy = prim_ref[0, p, 1]
-            sz = prim_ref[0, p, 2]
-            r = [prim_ref[0, p, 6 + k] for k in range(9)]
-            sem = prim_ref[0, p, 15]
+            sx = prim_ref[0, 0, p]
+            sy = prim_ref[0, 1, p]
+            sz = prim_ref[0, 2, p]
+            r = [prim_ref[0, 6 + k, p] for k in range(9)]
+            sem = prim_ref[0, 15, p]
             # origin in prim frame: precomputed outside (R^T (o - p))
-            rox = prim_ref[0, p, 16]
-            roy = prim_ref[0, p, 17]
-            roz = prim_ref[0, p, 18]
+            rox = prim_ref[0, 16, p]
+            roy = prim_ref[0, 17, p]
+            roz = prim_ref[0, 18, p]
             # dirs in prim frame: R^T d (tile math)
             rdx = r[0] * dxw + r[3] * dyw + r[6] * dzw
             rdy = r[1] * dxw + r[4] * dyw + r[7] * dzw
             rdz = r[2] * dxw + r[5] * dyw + r[8] * dzw
-            return (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem)
+            return (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem, r)
 
         def update(t, sem):
             if want_seg:
@@ -134,8 +163,27 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                 # one min instead of compare + two selects, no seg image DMA
                 t_scr[:] = jnp.minimum(t_scr[:], t)
 
+        def update_n(t, sem, p_idx, nxw, nyw, nzw):
+            """Normals mode: also track the winning primitive index ("face
+            id", reference warp_camera_kernels.py:68-121) and its WORLD
+            surface normal. Same strict-< tie-break as update()/the oracle
+            scan: the first primitive in table order wins ties."""
+            closer = t < t_scr[:]
+            s_scr[:] = jnp.where(closer, sem, s_scr[:])
+            f_scr[:] = jnp.where(closer, float(p_idx), f_scr[:])
+            nx_scr[:] = jnp.where(closer, nxw, nx_scr[:])
+            ny_scr[:] = jnp.where(closer, nyw, ny_scr[:])
+            nz_scr[:] = jnp.where(closer, nzw, nz_scr[:])
+            t_scr[:] = jnp.where(closer, t, t_scr[:])
+
+        def rot_to_world(r, nxp, nyp, nzp):
+            """World normal = R @ n_prim (r is row-major, scalars)."""
+            return (r[0] * nxp + r[1] * nyp + r[2] * nzp,
+                    r[3] * nxp + r[4] * nyp + r[5] * nzp,
+                    r[6] * nxp + r[7] * nyp + r[8] * nzp)
+
         def box_body(i):
-            (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(i)
+            (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem, r) = prim_common(i)
             hx, hy, hz = 0.5 * sx, 0.5 * sy, 0.5 * sz
             ix, iy, iz = _safe_inv(rdx), _safe_inv(rdy), _safe_inv(rdz)
             t1x, t2x = (-hx - rox) * ix, (hx - rox) * ix
@@ -150,11 +198,29 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             hit = tmax >= jnp.maximum(tmin, 0.0)
             t = jnp.where(tmin > 0.0, tmin, tmax)
             t = jnp.where(hit & (t > 0.0), t, _BIG)
-            update(t, sem)
+            if not want_normals:
+                update(t, sem)
+                return
+            # normal: dominant axis of |hit|/half in the prim frame (same
+            # priority as the oracle's argmax: x wins ties, then y)
+            px = rox + t * rdx
+            py = roy + t * rdy
+            pz = roz + t * rdz
+            qx_ = jnp.abs(px) * _safe_inv_scalar(hx)
+            qy_ = jnp.abs(py) * _safe_inv_scalar(hy)
+            qz_ = jnp.abs(pz) * _safe_inv_scalar(hz)
+            pickx = (qx_ >= qy_) & (qx_ >= qz_)
+            picky = jnp.logical_not(pickx) & (qy_ >= qz_)
+            pickz = jnp.logical_not(pickx) & jnp.logical_not(picky)
+            zero = jnp.zeros_like(px)
+            nxp = jnp.where(pickx, jnp.sign(px), zero)
+            nyp = jnp.where(picky, jnp.sign(py), zero)
+            nzp = jnp.where(pickz, jnp.sign(pz), zero)
+            update_n(t, sem, i, *rot_to_world(r, nxp, nyp, nzp))
 
         def cyl_body(i):
             p = n_box + i
-            (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
+            (sx, sy, sz, rox, roy, roz, rdx, rdy, rdz, sem, r) = prim_common(p)
             radius, half = sx, 0.5 * sy
             a = rdx * rdx + rdy * rdy
             b = rox * rdx + roy * rdy
@@ -181,17 +247,30 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                 return jnp.where(ok, t, _BIG)
 
             t = jnp.minimum(t_side, jnp.minimum(cap_t(tc0), cap_t(tc1)))
-            update(t, sem)
+            if not want_normals:
+                update(t, sem)
+                return
+            # side: radial (x, y, 0)/|.|; cap: (0, 0, sign z) — same 1e-4
+            # cap tolerance as the oracle (primitive_normal)
+            px = rox + t * rdx
+            py = roy + t * rdy
+            pz = roz + t * rdz
+            on_cap = jnp.abs(jnp.abs(pz) - half) < 1e-4
+            inv_len = jax.lax.rsqrt(jnp.maximum(px * px + py * py, 1e-18))
+            nxp = jnp.where(on_cap, 0.0, px * inv_len)
+            nyp = jnp.where(on_cap, 0.0, py * inv_len)
+            nzp = jnp.where(on_cap, jnp.sign(pz), 0.0)
+            update_n(t, sem, p, *rot_to_world(r, nxp, nyp, nzp))
 
         def sph_body(i):
             # spheres are rotation-invariant: intersect in WORLD frame with
             # the already-rotated tile dirs — skips the 15-op R^T rotation
             p = n_box + n_cyl + i
-            radius = prim_ref[0, p, 0]
-            sem = prim_ref[0, p, 15]
-            rox = ox - prim_ref[0, p, 3]
-            roy = oy - prim_ref[0, p, 4]
-            roz = oz - prim_ref[0, p, 5]
+            radius = prim_ref[0, 0, p]
+            sem = prim_ref[0, 15, p]
+            rox = ox - prim_ref[0, 3, p]
+            roy = oy - prim_ref[0, 4, p]
+            roz = oz - prim_ref[0, 5, p]
             rdx, rdy, rdz = dxw, dyw, dzw
             b = rox * rdx + roy * rdy + roz * rdz
             c = rox * rox + roy * roy + roz * roz - radius * radius
@@ -201,23 +280,37 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             t1_ = -b + sq
             t = jnp.where(t0_ > 0.0, t0_, t1_)
             t = jnp.where((disc >= 0.0) & (t > 0.0) & (radius > 0.0), t, _BIG)
-            update(t, sem)
+            if not want_normals:
+                update(t, sem)
+                return
+            # radial normal, directly in world frame: (hit - center)/radius
+            inv_r = _safe_inv_scalar(radius)
+            update_n(t, sem, p, (rox + t * rdx) * inv_r,
+                     (roy + t * rdy) * inv_r, (roz + t * rdz) * inv_r)
 
         def tri_body(i):
             # triangle in its own frame: z = 0 plane, verts (0,0),(a,0),(b,c)
             # with (a,b,c) = the size slots (assets/mesh.py encoding);
             # two-sided plane hit + 2D barycentric inside test
             p = n_box + n_cyl + n_sph + i
-            (sa, sb, sc_, rox, roy, roz, rdx, rdy, rdz, sem) = prim_common(p)
+            (sa, sb, sc_, rox, roy, roz, rdx, rdy, rdz, sem, r) = prim_common(p)
             t = -roz * _safe_inv(rdz)
             x = rox + t * rdx
             y = roy + t * rdy
-            v = y * _safe_inv(sc_)
-            u = (x - v * sb) * _safe_inv(sa)
+            v = y * _safe_inv_scalar(sc_)    # sc_/sa are SCALARS: the
+            u = (x - v * sb) * _safe_inv_scalar(sa)  # vector reciprocal op
+            # does not lower for them (same fix as the normal-mode sizes)
             eps = 1e-6
             ok = ((t > 0.0) & (u >= -eps) & (v >= -eps)
                   & (u + v <= 1.0 + eps) & (sa > 0.0))
-            update(jnp.where(ok, t, _BIG), sem)
+            t = jnp.where(ok, t, _BIG)
+            if not want_normals:
+                update(t, sem)
+                return
+            # plane normal is +z in the triangle frame: world = R column 3
+            # (scalar constants — no tile math at all)
+            ones = jnp.ones_like(t)
+            update_n(t, sem, p, r[2] * ones, r[5] * ones, r[8] * ones)
 
         # unrolled primitive sweeps (Mosaic software-pipelines the SMEM
         # scalar loads against the vector math; a fori_loop serializes them)
@@ -229,16 +322,41 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             pl.when(in_reach(n_box + i))(lambda i=i: cyl_body(i))
         for i in range(n_sph):
             pl.when(in_reach(n_box + n_cyl + i))(lambda i=i: sph_body(i))
-        for i in range(n_tri):
-            pl.when(in_reach(n_box + n_cyl + n_sph + i))(lambda i=i: tri_body(i))
+        P0 = n_box + n_cyl + n_sph
+        if n_tri >= 2 * TRI_GROUP:
+            # two-level sweep: group bits live at mask[P + g] (appended by
+            # the caller); a whole culled chunk costs one scalar test
+            n_groups = -(-n_tri // TRI_GROUP)
+            for g in range(n_groups):
+                lo, hi = g * TRI_GROUP, min(n_tri, (g + 1) * TRI_GROUP)
+
+                def group_body(lo=lo, hi=hi):
+                    for i in range(lo, hi):
+                        pl.when(in_reach(P0 + i))(lambda i=i: tri_body(i))
+
+                pl.when(mask_ref[0, 0, P + g] != 0)(group_body)
+        else:
+            for i in range(n_tri):
+                pl.when(in_reach(P0 + i))(lambda i=i: tri_body(i))
 
         t_best = t_scr[:]
         miss = t_best >= jnp.minimum(max_range, 0.5 * _BIG)
         t_best = jnp.where(miss, NO_HIT_RAY_VAL, t_best)
         depth_ref[0] = t_best * mult_ref[:]
-        if want_seg:
+        if want_seg or want_normals:
             s_best = jnp.where(miss, float(NO_HIT_SEGMENTATION_VAL), s_scr[:])
             seg_ref[0] = s_best.astype(jnp.int32)
+        if want_normals:
+            # orient against the ray (oracle raycast_env_normals) and zero
+            # the misses; faces are -1 where nothing was hit
+            nx, ny, nz = nx_scr[:], ny_scr[:], nz_scr[:]
+            flip = (nx * dxw + ny * dyw + nz * dzw) > 0.0
+            sgn = jnp.where(flip, -1.0, 1.0)
+            zero = jnp.zeros_like(nx)
+            onx_ref[0] = jnp.where(miss, zero, sgn * nx)
+            ony_ref[0] = jnp.where(miss, zero, sgn * ny)
+            onz_ref[0] = jnp.where(miss, zero, sgn * nz)
+            face_ref[0] = jnp.where(miss, -1.0, f_scr[:]).astype(jnp.int32)
 
     return kernel
 
@@ -282,10 +400,12 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
 
 @functools.partial(jax.jit, static_argnames=("n_box", "n_cyl", "n_sph",
                                              "n_tri", "max_range",
-                                             "want_seg", "interpret"))
+                                             "want_seg", "want_normals",
+                                             "interpret"))
 def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
                    n_sph: int, max_range: float, want_seg: bool = True,
-                   interpret: bool = False, n_tri: int = 0):
+                   interpret: bool = False, n_tri: int = 0,
+                   want_normals: bool = False):
     """pose (N,8), prims (N,P,16), dirs (R,3) sensor-frame already rotated
     to WORLD per env? No — dirs are sensor-frame; pose quat rotates them
     in-kernel. dirs (R,3), mult (R,). R padded to TILE_RAYS internally.
@@ -294,6 +414,13 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     want_seg=False (depth-only sensors skip the seg scratch, the extra
     select per primitive, and the seg image DMA; measured ~6% kernel time
     at 1024 envs x 135x240).
+
+    want_normals=True (implies seg) additionally returns the world-frame
+    surface normal (N, R, 3) and hit primitive index "face id" (N, R)
+    int32, -1 on miss — the training-rate path for the reference's
+    NormalFaceID sensors and the RGB modality
+    (warp_camera_kernels.py:68-121); depth-only configs pay nothing.
+    Returns (depth, seg[, normal, face]).
     """
     N = pose.shape[0]
     R = dirs.shape[0]
@@ -369,35 +496,62 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     visible = (perp * cos_half[None, :, None]
                - along * sin_half[None, :, None]) <= bound[:, None, :]
     mask = (in_range[:, None, :] & visible).astype(jnp.int32)  # (N, T, P)
-    mask = mask.reshape(N * tiles, 1, P)
+    if n_tri >= 2 * TRI_GROUP:
+        # group visibility bits for the two-level triangle sweep: OR over
+        # each 64-triangle chunk (VPU reshape+max — the kernel then guards
+        # a whole chunk with one scalar test)
+        n_groups = -(-n_tri // TRI_GROUP)
+        P0 = n_box + n_cyl + n_sph
+        tri_mask = mask[:, :, P0:P0 + n_tri]
+        pad_g = n_groups * TRI_GROUP - n_tri
+        tri_mask = jnp.pad(tri_mask, ((0, 0), (0, 0), (0, pad_g)))
+        group_bits = jnp.max(
+            tri_mask.reshape(N, tiles, n_groups, TRI_GROUP), axis=-1)
+        mask = jnp.concatenate([mask, group_bits], axis=-1)    # (N, T, P+G)
+    P_mask = mask.shape[-1]
+    mask = mask.reshape(N * tiles, 1, P_mask)
 
     # prim-frame sensor origin R^T (o - p): appended to the prim table so
     # the kernel skips 12 scalar ops per primitive (note o - p = -u)
     R_w = prims[:, :, 6:15].reshape(N, P, 3, 3)
     ro = jnp.einsum("npji,npj->npi", R_w, -u)   # R^T (o-p), R row-major
     prims = jnp.concatenate([prims, ro], axis=-1)              # (N, P, 19)
+    # ATTRIBUTE-major SMEM layout (N, 19, P): SMEM windows pad the minor
+    # dim to 128 lanes, so prim-major rows cost 512 B each (2 MB at 2048
+    # triangles -- exceeds the 1 MB SMEM budget, measured round 3);
+    # attribute-major packs all P prims into 19 padded rows (~160 KB).
+    prims = jnp.transpose(prims, (0, 2, 1))                    # (N, 19, P)
 
+    if want_normals:
+        want_seg = True
     kernel = _make_kernel(n_box, n_cyl, n_sph, n_tri, max_range, tile_rows,
-                          want_seg)
-    out_specs = [pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
-                              memory_space=pltpu.VMEM)]
+                          want_seg, want_normals)
+    tile_spec = pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [tile_spec]
     out_shape = [jax.ShapeDtypeStruct((N, rows, _LANES), jnp.float32)]
     scratch_shapes = [pltpu.VMEM((tile_rows, _LANES), jnp.float32)]  # t_best
     if want_seg:
-        out_specs.append(pl.BlockSpec((1, tile_rows, _LANES),
-                                      lambda e, j: (e, j, 0),
-                                      memory_space=pltpu.VMEM))
+        out_specs.append(tile_spec)
         out_shape.append(jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32))
         scratch_shapes.append(pltpu.VMEM((tile_rows, _LANES), jnp.float32))
+    if want_normals:
+        out_specs.extend([tile_spec] * 4)       # face, nx, ny, nz
+        out_shape.append(jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32))
+        out_shape.extend([jax.ShapeDtypeStruct((N, rows, _LANES),
+                                               jnp.float32)] * 3)
+        scratch_shapes.extend(                   # f, nx, ny, nz
+            [pltpu.VMEM((tile_rows, _LANES), jnp.float32)] * 4)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda e, j: (e, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, P, 19), lambda e, j: (e, 0, 0),
+            pl.BlockSpec((1, 19, P), lambda e, j: (e, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, P), lambda e, j, T=tiles: (e * T + j, 0, 0),
+            pl.BlockSpec((1, 1, P_mask),
+                         lambda e, j, T=tiles: (e * T + j, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, _LANES), lambda e, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -418,4 +572,9 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     if not want_seg:
         return depth, None
     seg = outs[1].reshape(N, R_pad)[:, :R]
-    return depth, seg
+    if not want_normals:
+        return depth, seg
+    face = outs[2].reshape(N, R_pad)[:, :R]
+    normal = jnp.stack([o.reshape(N, R_pad)[:, :R] for o in outs[3:6]],
+                       axis=-1)
+    return depth, seg, normal, face

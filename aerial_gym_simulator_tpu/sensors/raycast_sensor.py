@@ -293,6 +293,11 @@ def render_normal_faceid(params: SimParams, state: SimState,
     hit primitive index (the face-id analog of the primitive renderer),
     plus depth/range and segmentation.
 
+    On TPU this rides the Pallas kernel's want_normals mode — the same
+    training-rate path as depth rendering (in-kernel normal candidates
+    selected by the winning-primitive min-reduction); the pure-JAX oracle
+    (raycast_batched_normals) is the CPU fallback and correctness anchor.
+
     Returns (depth (N,H,W), normals (N,H,W,3), face_id (N,H,W), seg (N,H,W)).
     """
     N = state.pos.shape[0]
@@ -306,10 +311,35 @@ def render_normal_faceid(params: SimParams, state: SimState,
         return (depth, jnp.zeros((N, H, W, 3), jnp.float32),
                 jnp.full((N, H, W), -1, jnp.int32),
                 jnp.full((N, H, W), raycast.NO_HIT_SEGMENTATION_VAL, jnp.int32))
-    rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
-    t, sem, normals, face = raycast.raycast_batched_normals(
-        sc, state.obstacle_pos, state.obstacle_quat, pos_w, rd_world,
-        sp.max_range)
+    if jax.default_backend() == "tpu":
+        from ..ops import raycast_pallas as rp
+        # same column-half tile ordering as render(): tighter view cones
+        split = (W % 2 == 0) and (R >= 2 * rp.TILE_RAYS)
+        if split:
+            dirs_use = jnp.transpose(
+                dirs_flat.reshape(H, 2, W // 2, 3), (1, 0, 2, 3)).reshape(R, 3)
+        else:
+            dirs_use = dirs_flat
+        ones = jnp.ones((R,), jnp.float32)
+        prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+        t, sem, normals, face = rp.raycast_pallas(
+            rp.pack_pose(pos_w, quat_w), prims, dirs_use, ones, sc.n_box,
+            sc.n_cyl, sc.n_sph, float(sp.max_range), want_seg=True,
+            n_tri=sc.n_tri, want_normals=True)
+        if split:
+            def unsplit(img):
+                lead = img.shape[2:]
+                return jnp.transpose(img.reshape(N, 2, H, W // 2, *lead),
+                                     (0, 2, 1, 3) + tuple(
+                                         4 + k for k in range(len(lead)))
+                                     ).reshape(N, R, *lead)
+            t, sem, face = unsplit(t), unsplit(sem), unsplit(face)
+            normals = unsplit(normals)
+    else:
+        rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
+        t, sem, normals, face = raycast.raycast_batched_normals(
+            sc, state.obstacle_pos, state.obstacle_quat, pos_w, rd_world,
+            sp.max_range)
     mult = sp.depth_multiplier.reshape(R)
     depth = jnp.where(face >= 0, t * mult[None, :], raycast.NO_HIT_RAY_VAL)
     return (depth.reshape(N, H, W), normals.reshape(N, H, W, 3),
@@ -342,16 +372,33 @@ def shade_rgb(depth, normals, face_id, seg, max_range):
     [0, 1]: albedo from the segmentation palette, double-sided diffuse from
     the world-frame surface normal, mild distance attenuation, sky where
     nothing was hit. Pure jnp — runs inside the jitted step like every
-    other sensor op."""
-    albedo = jnp.asarray(SEG_ALBEDO)[jnp.abs(seg) % SEG_ALBEDO.shape[0]]
+    other sensor op.
+
+    All math is PLANAR (per-channel (N, H, W) arrays, stacked only at the
+    end): a palette gather `SEG_ALBEDO[k]` lowers to a one-hot whose minor
+    dim (palette size) pads to the TPU's 128-lane tile — a 12.8x buffer
+    blow-up that OOMed 16 GB of HBM at 1024 envs x 135x240 (measured,
+    round 3). The select-sum below fuses to elementwise VPU work with no
+    materialized intermediate."""
+    n_pal = SEG_ALBEDO.shape[0]
+    k = jnp.abs(seg) % n_pal                                   # (N, H, W)
     # double-sided: primitives are watertight solids, the camera may see
     # either face orientation
-    lambert = jnp.abs(jnp.sum(normals * jnp.asarray(_SUN_DIR), axis=-1))
+    lambert = jnp.abs(normals[..., 0] * float(_SUN_DIR[0])
+                      + normals[..., 1] * float(_SUN_DIR[1])
+                      + normals[..., 2] * float(_SUN_DIR[2]))
     shade = _RGB_AMBIENT + (1.0 - _RGB_AMBIENT) * lambert
     fade = 1.0 - 0.5 * jnp.clip(depth / max_range, 0.0, 1.0)
-    rgb = albedo * (shade * fade)[..., None]
-    hit = (face_id >= 0)[..., None]
-    return jnp.where(hit, rgb, jnp.asarray(_SKY_RGB))
+    lit = shade * fade                                         # (N, H, W)
+    hit = face_id >= 0
+    chans = []
+    for c in range(3):
+        albedo_c = jnp.zeros_like(lit)
+        for pal_k in range(n_pal):
+            albedo_c = jnp.where(k == pal_k, float(SEG_ALBEDO[pal_k, c]),
+                                 albedo_c)
+        chans.append(jnp.where(hit, albedo_c * lit, float(_SKY_RGB[c])))
+    return jnp.stack(chans, axis=-1)
 
 
 def render_rgb(params: SimParams, state: SimState, sp: RaySensorParams,

@@ -113,5 +113,70 @@ def main():
     print(json.dumps(result))
 
 
+def main_render():
+    """Second BASELINE line: state + DEPTH-RENDER in the loop at 16k envs
+    (BASELINE.json metric string; reference examples/benchmark.py:31-47
+    camera benchmark). Every step integrates the full obstacle-env dynamics
+    AND ray casts the 135x240 depth camera through the Pallas kernel."""
+    num_envs = int(os.environ.get("BENCH_RENDER_NUM_ENVS", 16384))
+    steps = int(os.environ.get("BENCH_RENDER_STEPS", 40))
+    if jax.default_backend() == "cpu":
+        num_envs = min(num_envs, 128)
+        steps = min(steps, 4)
+
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+    from aerial_gym_simulator_tpu.sim import dynamics
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=num_envs,
+                                 seed=0)
+    env.reset()
+    params = env.params
+    actions = jnp.zeros((num_envs, 4), jnp.float32)
+    block = max(min(10, steps), 1)
+
+    def run_block(state):
+        def body(state, _):
+            state = dynamics.env_step(params, state, actions)
+            depth, _ = render_camera(params, state, want_seg=False)
+            return state, depth.mean()
+        state, d = jax.lax.scan(body, state, None, length=block)
+        return state, d.sum()
+
+    run_block = jax.jit(run_block, donate_argnums=0)
+    state, d = run_block(env.state)
+    jax.block_until_ready(d)
+
+    n_blocks = max(steps // block, 1)
+    t0 = time.perf_counter()
+    for _ in range(n_blocks):
+        state, d = run_block(state)
+    jax.block_until_ready(d)
+    dt = time.perf_counter() - t0
+
+    env_steps_per_s = n_blocks * block * num_envs / dt
+    h, w = params.camera.height, params.camera.width
+    print(json.dumps({
+        "metric": f"env-steps/s (state + {h}x{w} depth-render in loop, "
+                  f"obstacle env, {num_envs} envs, "
+                  f"{jax.default_backend()})",
+        "value": round(env_steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_s / BASELINE_STEPS_PER_S, 4),
+        "rays_per_s": round(env_steps_per_s * h * w, 1),
+        "num_envs": num_envs,
+        "wall_s": round(dt, 3),
+        "note": "5M/s target is the state-stepping goal (hitting it with a "
+                f"{h}x{w} camera per step would need >100x VPU peak ray "
+                "throughput on any hardware); the reference publishes no "
+                "render-rate number (BASELINE.md:14 'tool only'). Ray "
+                "throughput is the roofline-comparable figure here.",
+    }))
+
+
 if __name__ == "__main__":
     main()
+    if os.environ.get("BENCH_SKIP_RENDER") != "1":
+        main_render()

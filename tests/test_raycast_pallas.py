@@ -87,6 +87,125 @@ def test_pallas_boundary_primitive():
     np.testing.assert_allclose(t_pal, t_ref, atol=2e-3)
 
 
+def test_pallas_normals_match_oracle(obstacle_env):
+    """want_normals mode (training-rate NormalFaceID/RGB path) in lockstep
+    with the oracle raycast_batched_normals: depth, seg, face id and the
+    world-frame surface normal."""
+    from aerial_gym_simulator_tpu.utils.math import quat_rotate
+
+    env = obstacle_env
+    params, state = env.params, env.state
+    sc = params.scene
+    H, W = 8, 128
+    ys, xs = np.meshgrid(np.linspace(-0.4, 0.4, H),
+                         np.linspace(-0.6, 0.6, W), indexing="ij")
+    dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
+    # short range: the obstacle env is enclosed, so a 10 m range hits on
+    # every ray — 4 m leaves both hits AND misses to differentiate
+    max_range = 4.0
+
+    rd_world = quat_rotate(state.quat[:, None, :], dirs[None, :, :])
+    t_ref, sem_ref, n_ref, face_ref = raycast.raycast_batched_normals(
+        sc, state.obstacle_pos, state.obstacle_quat, state.pos, rd_world,
+        max_range)
+
+    prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+    ones = jnp.ones((dirs.shape[0],), jnp.float32)
+    t_pal, sem_pal, n_pal, face_pal = rp.raycast_pallas(
+        rp.pack_pose(state.pos, state.quat), prims, dirs, ones,
+        sc.n_box, sc.n_cyl, sc.n_sph, float(max_range), want_normals=True,
+        n_tri=sc.n_tri, interpret=True)
+
+    t_ref, sem_ref = np.asarray(t_ref), np.asarray(sem_ref)
+    n_ref, face_ref = np.asarray(n_ref), np.asarray(face_ref)
+    t_pal, sem_pal = np.asarray(t_pal), np.asarray(sem_pal)
+    n_pal, face_pal = np.asarray(n_pal), np.asarray(face_pal)
+
+    np.testing.assert_allclose(t_pal, t_ref, atol=2e-3)
+    hit = face_ref >= 0
+    assert hit.any() and (~hit).any()
+    # face ids / seg agree except possibly on razor-thin depth ties
+    same_face = face_pal == face_ref
+    assert same_face.mean() > 0.995
+    assert (sem_pal[hit & same_face] == sem_ref[hit & same_face]).all()
+    # misses: face -1, normal exactly zero
+    assert (face_pal[~hit] == -1).all()
+    assert (n_pal[~hit] == 0.0).all()
+    # normals agree where the same primitive won (unit vectors -> atol)
+    np.testing.assert_allclose(n_pal[hit & same_face],
+                               n_ref[hit & same_face], atol=5e-3)
+    # and are unit length on hits
+    norms = np.linalg.norm(n_pal[hit], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_pallas_normals_all_kinds_synthetic():
+    """One primitive of every kind (box, cylinder, sphere, triangle) at
+    known poses: Pallas normals (interpret) vs oracle AND vs hand-computed
+    analytic normals."""
+    kind = np.array([0, 1, 2, 3], np.int32)
+    size = np.array([[1.0, 1.0, 1.0],     # unit box at (4, 0, 0)
+                     [0.5, 2.0, 0.0],     # r=.5 h=2 cylinder at (0, 4, 0)
+                     [0.7, 0.0, 0.0],     # r=.7 sphere at (-4, 0, 0)
+                     [2.0, 0.0, 2.0]],    # right triangle in z=0 plane
+                    np.float32)
+    pos = np.array([[4.0, 0.0, 0.0], [0.0, 4.0, 0.0],
+                    [-4.0, 0.0, 0.0], [-1.0, -4.0, 0.0]], np.float32)
+    rot = np.broadcast_to(np.eye(3, dtype=np.float32), (4, 3, 3)).copy()
+    sem = np.array([1, 2, 3, 4], np.int32)
+    slot = np.zeros((4,), np.int32)
+
+    class _Sc:
+        env_prim_slot = jnp.asarray(slot)[None]
+        env_prim_kind = jnp.asarray(kind)[None]
+        env_prim_size = jnp.asarray(size)[None]
+        env_prim_pos = jnp.asarray(pos)[None]
+        env_prim_rot = jnp.asarray(rot)[None]
+        env_prim_semantic = jnp.asarray(sem)[None]
+        n_box, n_cyl, n_sph, n_tri = 1, 1, 1, 1
+        num_env_prims = 4
+
+    # rays from just above the origin: +x hits the box face, +y the cylinder
+    # side, -x the sphere, and a downward ray over the triangle its plane
+    ro = jnp.asarray([[0.0, 0.0, 0.2]], jnp.float32)
+    quat = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)
+    d = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0],
+                  [0.0, -1.0, -0.05]], np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+
+    asset_pos = jnp.zeros((1, 1, 3), jnp.float32)
+    asset_quat = jnp.asarray([[[0.0, 0.0, 0.0, 1.0]]], jnp.float32)
+    t_ref, sem_ref, n_ref, face_ref = raycast.raycast_env_normals(
+        _Sc.env_prim_kind[0], _Sc.env_prim_size[0], _Sc.env_prim_pos[0],
+        _Sc.env_prim_rot[0], _Sc.env_prim_semantic[0], _Sc.env_prim_slot[0],
+        asset_pos[0], asset_quat[0], ro[0], dirs, 50.0)
+
+    prims = rp.pack_prims_world(_Sc, asset_pos, asset_quat)
+    ones = jnp.ones((4,), jnp.float32)
+    t_pal, _, n_pal, face_pal = rp.raycast_pallas(
+        rp.pack_pose(ro, quat), prims, dirs, ones, 1, 1, 1, 50.0,
+        n_tri=1, want_normals=True, interpret=True)
+
+    n_pal, face_pal = np.asarray(n_pal)[0], np.asarray(face_pal)[0]
+    np.testing.assert_array_equal(face_pal, np.asarray(face_ref))
+    np.testing.assert_array_equal(face_pal, np.array([0, 1, 2, 3]))
+    np.testing.assert_allclose(np.asarray(t_pal)[0], np.asarray(t_ref),
+                               atol=2e-3)
+    np.testing.assert_allclose(n_pal, np.asarray(n_ref), atol=5e-3)
+    # sphere: ray travels at z=0.2, so the hit sits above the equator —
+    # radial normal has z = 0.2/r and x = sqrt(1 - (0.2/r)^2)
+    zr = 0.2 / 0.7
+    analytic = np.array([[-1.0, 0.0, 0.0],    # box -x face
+                         [0.0, -1.0, 0.0],    # cylinder side toward sensor
+                         [np.sqrt(1 - zr * zr), 0.0, zr],   # sphere radial
+                         [0.0, 0.0, 1.0]],    # triangle plane, toward ray
+                        np.float32)
+    np.testing.assert_allclose(n_pal, analytic, atol=1e-3)
+
+
 def test_pallas_depth_only_matches_seg_variant(obstacle_env):
     """want_seg=False must produce identical depth (and None seg) — the
     depth-only fast path used by the fused navigation steps."""
