@@ -401,11 +401,13 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
 @functools.partial(jax.jit, static_argnames=("n_box", "n_cyl", "n_sph",
                                              "n_tri", "max_range",
                                              "want_seg", "want_normals",
-                                             "interpret"))
+                                             "interpret",
+                                             "debug_force_mask"))
 def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
                    n_sph: int, max_range: float, want_seg: bool = True,
                    interpret: bool = False, n_tri: int = 0,
-                   want_normals: bool = False):
+                   want_normals: bool = False,
+                   debug_force_mask: str | None = None):
     """pose (N,8), prims (N,P,16), dirs (R,3) sensor-frame already rotated
     to WORLD per env? No — dirs are sensor-frame; pose quat rotates them
     in-kernel. dirs (R,3), mult (R,). R padded to TILE_RAYS internally.
@@ -496,6 +498,10 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     visible = (perp * cos_half[None, :, None]
                - along * sin_half[None, :, None]) <= bound[:, None, :]
     mask = (in_range[:, None, :] & visible).astype(jnp.int32)  # (N, T, P)
+    if debug_force_mask == "ones":       # perf isolation: no culling at all
+        mask = jnp.ones_like(mask)
+    elif debug_force_mask == "zeros":    # perf isolation: fixed-floor only
+        mask = jnp.zeros_like(mask)
     if n_tri >= 2 * TRI_GROUP:
         # group visibility bits for the two-level triangle sweep: OR over
         # each 64-triangle chunk (VPU reshape+max — the kernel then guards

@@ -80,6 +80,67 @@ def analyze_ppo(num_envs=8192, iters=20):
     return rec
 
 
+def analyze_nav_train(vae_params_path, num_envs=1024, iters=10):
+    """Navigation train step (renderer + perception encoder + PPO learner in
+    ONE jitted program) through XLA's own cost model — the config where MXU
+    utilization stops being vacuous (VERDICT r2 #4): with `--arch vit` the
+    encoder is transformer matmuls at every rollout step. Pass the VAE
+    pickle from models/train_vae (conv or vit; arch is read from the tag).
+
+    NOTE: XLA cannot see inside the Pallas ray-cast custom call, so flops/
+    bytes EXCLUDE the renderer — the MXU numbers are encoder+learner; the
+    renderer's VPU side is analyze_render's job."""
+    import dataclasses
+    import pickle
+
+    import aerial_gym_simulator_tpu as ag
+    from aerial_gym_simulator_tpu.rl.ppo import PPOConfig, PPOTrainer
+
+    with open(vae_params_path, "rb") as f:
+        loaded = pickle.load(f)
+    arch = loaded.get("arch", "conv") if isinstance(loaded, dict) else "conv"
+
+    task_config = dataclasses.replace(
+        ag.task_registry.get_task_config("navigation_task"),
+        vae_params_path=vae_params_path)
+    task = ag.task_registry.make_task("navigation_task", num_envs=num_envs,
+                                      seed=0, task_config=task_config)
+    cfg = PPOConfig(num_envs=num_envs, horizon=32,
+                    minibatch_size=min(8192, num_envs * 32), epochs=4, seed=0)
+    tr = PPOTrainer(task, cfg)
+    args = (tr.train_state, tr.env_carry, tr.obs, tr.key, tr.norm)
+    compiled = jax.jit(tr.train_step_fn, donate_argnums=(1,)).lower(
+        *args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    out = compiled(*args)
+    jax.block_until_ready(out[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*out[:5])
+    jax.block_until_ready(out[-1])
+    dt = (time.perf_counter() - t0) / iters
+
+    steps = num_envs * cfg.horizon
+    rec = {
+        "program": f"navigation_ppo_train_step_{arch}_encoder",
+        "num_envs": num_envs,
+        "xla_flops_excl_pallas_render": flops,
+        "xla_bytes_accessed": byts,
+        "wall_s_per_iter": round(dt, 5),
+        "env_steps_per_s": round(steps / dt),
+        "achieved_tflops": round(flops / dt / 1e12, 3),
+        "mxu_bf16_utilization_pct": round(100 * flops / dt / V5E_BF16_FLOPS, 2),
+        "achieved_GBps": round(byts / dt / 1e9, 1),
+        "hbm_utilization_pct": round(100 * byts / dt / V5E_HBM_BPS, 1),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
 # analytic per-ray per-primitive FLOP counts for the kernel narrow phase
 # (ops/raycast_pallas.py bodies; counting vector float ops incl. selects):
 #   common prim transform (dirs R^T d): 15 mul+add
@@ -108,15 +169,22 @@ def analyze_render(num_envs=1024, h=135, w=240, iters=20):
     prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
     ones = jnp.ones((R,), jnp.float32)
 
-    fn = jax.jit(lambda pose, prims: rp.raycast_pallas(
+    # dirs/ones passed as ARGS, not captured: an array literal surviving in
+    # a jitted program costs ~1.5 ms PER DISPATCH over the tunneled runtime
+    # regardless of size (measured round 3, PERF.md) — capturing the ray
+    # table would tax every standalone render and skew utilization low
+    fn = jax.jit(lambda pose, prims, dirs, ones: rp.raycast_pallas(
         pose, prims, dirs, ones, sc.n_box, sc.n_cyl, sc.n_sph, 10.0,
         want_seg=False, n_tri=sc.n_tri)[0])
-    depth = fn(pose, prims)
-    jax.block_until_ready(depth)
+    # COMPLETION anchor via host fetch: block_until_ready on a pallas
+    # output is not a completion barrier over the tunneled runtime
+    # (0.18 ms "ready" vs 9.2 ms true — PERF.md r3)
+    depth = fn(pose, prims, dirs, ones)
+    float(jnp.sum(depth))
     t0 = time.perf_counter()
     for _ in range(iters):
-        depth = fn(pose, prims)
-    jax.block_until_ready(depth)
+        depth = fn(pose, prims, dirs, ones)
+    float(jnp.sum(depth))
     dt = (time.perf_counter() - t0) / iters
 
     # surviving narrow-phase work after the EXACT broad phase (range test +
@@ -193,13 +261,20 @@ def analyze_render(num_envs=1024, h=135, w=240, iters=20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--nav_vae", default=None,
+                    help="VAE pickle path: also analyze the navigation "
+                         "train step (conv or vit arch tag)")
+    ap.add_argument("--nav_only", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from aerial_gym_simulator_tpu.rl.ppo import enable_compilation_cache
     enable_compilation_cache()
-    analyze_ppo()
-    analyze_render()
+    if not args.nav_only:
+        analyze_ppo()
+        analyze_render()
+    if args.nav_vae:
+        analyze_nav_train(args.nav_vae)
 
 
 if __name__ == "__main__":
