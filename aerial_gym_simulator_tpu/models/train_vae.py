@@ -55,6 +55,12 @@ def main(argv=None):
                    help="encoder architecture: the reference-parity conv "
                         "VAE, or the ViT transformer encoder (models/vit; "
                         "MXU-friendly, tensor-parallel shardable)")
+    p.add_argument("--vit_dim", type=int, default=128,
+                   help="ViT embed dim (--arch vit); raise for MXU-scale "
+                        "backbones (the nav task rebuilds from the pickle "
+                        "tags, so any size deploys unchanged)")
+    p.add_argument("--vit_depth", type=int, default=4)
+    p.add_argument("--vit_heads", type=int, default=4)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)
@@ -71,7 +77,9 @@ def main(argv=None):
 
     if args.arch == "vit":
         from .vit import DepthViT
-        model = DepthViT(latent_dim=args.latent_dim, out_hw=(H, W))
+        model = DepthViT(latent_dim=args.latent_dim, out_hw=(H, W),
+                         dim=args.vit_dim, depth=args.vit_depth,
+                         num_heads=args.vit_heads)
     else:
         model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
     key = jax.random.PRNGKey(args.seed)

@@ -18,8 +18,8 @@ note "0/5 TPU visible?"
 timeout 300 python -c "import jax; print(jax.devices())" || {
   echo "TPU backend unreachable — aborting" >&2; exit 1; }
 
-note "1/5 canonical bench (position task, 16k envs)"
-timeout 1200 python bench.py | tail -1 >> "$OUT"
+note "1/5 canonical bench (position task + render-in-loop, 16k envs)"
+timeout 1200 python bench.py | tail -2 >> "$OUT"
 
 note "2/5 position PPO incl. learner (reference hyperparameters)"
 timeout 1800 python -m aerial_gym_simulator_tpu.rl.ppo \
