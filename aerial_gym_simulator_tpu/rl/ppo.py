@@ -988,6 +988,10 @@ def main():
     p.add_argument("--resume", action="store_true",
                    help="resume from --ckpt_dir if a checkpoint exists "
                         "(works across device topologies)")
+    p.add_argument("--entropy_coef", type=float, default=0.0,
+                   help="entropy bonus (the reference's sample-factory "
+                        "lidar/radar configs use exploration_loss_coeff "
+                        "0.001, train_aerialgym.py:218/238)")
     p.add_argument("--rnn", default=None, choices=[None, "gru"],
                    help="recurrent policy core (GRU actor-critic; the "
                         "reference needs external sample-factory for this)")
@@ -1024,6 +1028,7 @@ def main():
     cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,
                     minibatch_size=min(8192, args.num_envs * args.horizon),
                     total_env_steps=args.total_steps, seed=args.seed,
+                    entropy_coef=args.entropy_coef,
                     rnn=args.rnn, rnn_hidden=args.rnn_hidden)
     trainer = PPOTrainer(task, cfg)
     if args.multichip or args.multihost:
