@@ -161,6 +161,25 @@ def sensor_world_pose(sp: RaySensorParams, state: SimState, mount_pos, mount_qua
     return pos, quat
 
 
+def column_split_dirs(dirs_flat, H: int, W: int):
+    """Reorder row-major camera rays into column-half blocks (left-half
+    rays then right-half rays): each Pallas ray tile then spans half the
+    horizontal FOV, so the per-tile view-cone broad phase culls ~2x
+    tighter. Pure reshapes/transposes — no gathers. Inverse:
+    column_unsplit_image."""
+    return jnp.transpose(dirs_flat.reshape(H, 2, W // 2, 3),
+                         (1, 0, 2, 3)).reshape(H * W, 3)
+
+
+def column_unsplit_image(img, N: int, H: int, W: int):
+    """Undo column_split_dirs ordering on a rendered (N, R[, C...]) image."""
+    lead = img.shape[2:]
+    return jnp.transpose(
+        img.reshape(N, 2, H, W // 2, *lead),
+        (0, 2, 1, 3) + tuple(4 + k for k in range(len(lead)))
+    ).reshape(N, H * W, *lead)
+
+
 def render(params: SimParams, state: SimState, sp: RaySensorParams,
            mount_pos, mount_quat, noise_key=None, want_seg=None):
     """Full sensor capture -> (pixels, segmentation).
@@ -187,17 +206,10 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
         rd_world = None
     elif use_pallas:
         from ..ops import raycast_pallas as rp
-        # feed rays to the kernel in column-half order ((half, H, W/2)
-        # instead of row-major): each ray tile then spans half the
-        # horizontal FOV, so the per-tile view-cone broad phase culls ~2x
-        # tighter. Pure reshapes/transposes both ways — no gathers.
+        # feed rays to the kernel in column-half order: tighter per-tile
+        # view cones (column_split_dirs; inverse applied to the images)
         split = (W % 2 == 0) and (R >= 2 * rp.TILE_RAYS)
-        if split:
-            dirs_use = jnp.transpose(
-                dirs_flat.reshape(H, 2, W // 2, 3),
-                (1, 0, 2, 3)).reshape(R, 3)
-        else:
-            dirs_use = dirs_flat
+        dirs_use = column_split_dirs(dirs_flat, H, W) if split else dirs_flat
         ones = jnp.ones((R,), jnp.float32)
         prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
         # depth-only sensors skip the seg scratch/selects/DMA in-kernel
@@ -217,11 +229,9 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
                                        want_seg=False, n_tri=sc.n_tri)
             t = jnp.maximum(t, t_r)
         if split:
-            t = jnp.transpose(t.reshape(N, 2, H, W // 2),
-                              (0, 2, 1, 3)).reshape(N, R)
+            t = column_unsplit_image(t, N, H, W)
             if sem is not None:
-                sem = jnp.transpose(sem.reshape(N, 2, H, W // 2),
-                                    (0, 2, 1, 3)).reshape(N, R)
+                sem = column_unsplit_image(sem, N, H, W)
         rd_world = None
     else:
         rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
@@ -315,11 +325,7 @@ def render_normal_faceid(params: SimParams, state: SimState,
         from ..ops import raycast_pallas as rp
         # same column-half tile ordering as render(): tighter view cones
         split = (W % 2 == 0) and (R >= 2 * rp.TILE_RAYS)
-        if split:
-            dirs_use = jnp.transpose(
-                dirs_flat.reshape(H, 2, W // 2, 3), (1, 0, 2, 3)).reshape(R, 3)
-        else:
-            dirs_use = dirs_flat
+        dirs_use = column_split_dirs(dirs_flat, H, W) if split else dirs_flat
         ones = jnp.ones((R,), jnp.float32)
         prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
         t, sem, normals, face = rp.raycast_pallas(
@@ -327,14 +333,10 @@ def render_normal_faceid(params: SimParams, state: SimState,
             sc.n_cyl, sc.n_sph, float(sp.max_range), want_seg=True,
             n_tri=sc.n_tri, want_normals=True)
         if split:
-            def unsplit(img):
-                lead = img.shape[2:]
-                return jnp.transpose(img.reshape(N, 2, H, W // 2, *lead),
-                                     (0, 2, 1, 3) + tuple(
-                                         4 + k for k in range(len(lead)))
-                                     ).reshape(N, R, *lead)
-            t, sem, face = unsplit(t), unsplit(sem), unsplit(face)
-            normals = unsplit(normals)
+            t = column_unsplit_image(t, N, H, W)
+            sem = column_unsplit_image(sem, N, H, W)
+            face = column_unsplit_image(face, N, H, W)
+            normals = column_unsplit_image(normals, N, H, W)
     else:
         rd_world = quat_rotate(quat_w[:, None, :], dirs_flat[None, :, :])
         t, sem, normals, face = raycast.raycast_batched_normals(
