@@ -226,6 +226,10 @@ def launch_cluster(num_processes: int = 2, local_devices: int = 2,
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        # the orbax roundtrip dir is per-run scratch; leaking one full
+        # training-state checkpoint per suite/dryrun invocation fills /tmp
+        import shutil
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
 
     markers = [f"MULTIPROC_WORKER_OK {pid}/{num_processes}" in outputs[pid]
                for pid in range(num_processes)]

@@ -4,8 +4,11 @@ Equivalent of the reference's examples/benchmark.py physics benchmark
 (FPS + realtime speedup printout), sized to the BASELINE.json metric:
 env-steps/s at 16k envs, state-based position-setpoint stepping.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is vs the driver target of 5M env-steps/s aggregate on one host.
+Prints one JSON line per metric: the state-stepping headline, then (unless
+BENCH_SKIP_RENDER=1) the BASELINE.json metric as written — state + depth
+render in the loop at 16k envs. Each line carries {"metric", "value",
+"unit", "vs_baseline"}; vs_baseline is vs the driver target of 5M
+env-steps/s aggregate on one host.
 """
 
 import json
@@ -89,13 +92,13 @@ def main():
     carry, s = run_block(carry)
     for _ in range(max(warmup // block, 2)):
         carry, s = run_block(carry)
-    jax.block_until_ready(s)
+    float(s)   # host fetch = true completion anchor (PERF.md round 3)
 
     n_blocks = max(steps // block, 1)
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         carry, s = run_block(carry)
-    jax.block_until_ready(s)
+    float(s)
     dt = time.perf_counter() - t0
 
     env_steps_per_s = n_blocks * block * num_envs / dt
@@ -146,14 +149,17 @@ def main_render():
         return state, d.sum()
 
     run_block = jax.jit(run_block, donate_argnums=0)
+    # COMPLETION anchor via host fetch: block_until_ready is not a
+    # completion barrier for pallas-containing programs on the tunneled
+    # backend (PERF.md round 3)
     state, d = run_block(env.state)
-    jax.block_until_ready(d)
+    float(d)
 
     n_blocks = max(steps // block, 1)
     t0 = time.perf_counter()
     for _ in range(n_blocks):
         state, d = run_block(state)
-    jax.block_until_ready(d)
+    float(d)
     dt = time.perf_counter() - t0
 
     env_steps_per_s = n_blocks * block * num_envs / dt

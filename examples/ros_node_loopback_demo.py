@@ -88,7 +88,7 @@ def main():
             "rate_scale": args.rate_scale,
             "odometry_msgs_in": n_ticks,
             "cmd_vel_msgs_out": len(cmds),
-            "effective_cmd_rate_hz": round(out_rate * args.rate_scale, 2),
+            "effective_cmd_rate_hz": round(out_rate / args.rate_scale, 2),
             "transport": "in-process loopback (no roscore in this image; "
                          "on a robot the real rospy wins)",
         }) + "\n")
@@ -96,7 +96,7 @@ def main():
             f.write(json.dumps(e) + "\n")
     print(f"session log -> {args.out}: {n_ticks} odometry in, "
           f"{len(cmds)} cmd_vel out "
-          f"({out_rate * args.rate_scale:.1f} Hz effective)")
+          f"({out_rate / args.rate_scale:.1f} Hz effective)")
     assert len(cmds) >= n_ticks - 3, "node must keep up with the rate"
 
 

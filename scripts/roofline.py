@@ -116,12 +116,18 @@ def analyze_nav_train(vae_params_path, num_envs=1024, iters=10):
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
 
+    def anchor(out):
+        """Host fetch = true completion (the train step contains the
+        Pallas render; block_until_ready under-anchors — PERF.md r3)."""
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(jnp.sum(leaf))
+
     out = compiled(*args)
-    jax.block_until_ready(out[-1])
+    anchor(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = compiled(*out[:5])
-    jax.block_until_ready(out[-1])
+    anchor(out)
     dt = (time.perf_counter() - t0) / iters
 
     steps = num_envs * cfg.horizon
