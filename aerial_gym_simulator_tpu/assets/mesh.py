@@ -30,8 +30,37 @@ import numpy as np
 # triangles in 64-chunk groups behind one scalar visibility bit each
 # (ops/raycast_pallas.py TRI_GROUP — the BVH analog), so a large culled
 # mesh costs n_tri/64 scalar tests per ray tile.
+#
+# CPU-path cost note: the grouped cull exists only in the Pallas kernel.
+# The oracle/CPU fallback (ops/raycast.py, and interpret-mode tests) pays a
+# full narrow-phase test per triangle per ray, and its XLA-side broad-phase
+# masks scale as n_envs x tiles x n_prims — so off-TPU the effective budget
+# is lower: _effective_triangle_budget() quarters it (2048 -> 512) unless
+# the env var pins an explicit value. TPU keeps the full budget.
 DEFAULT_TRIANGLE_BUDGET = int(os.environ.get(
     "AERIAL_GYM_TPU_MESH_TRIANGLE_BUDGET", "2048"))
+
+_BUDGET_PINNED = "AERIAL_GYM_TPU_MESH_TRIANGLE_BUDGET" in os.environ
+_IMPORT_DEFAULT = DEFAULT_TRIANGLE_BUDGET
+
+
+def _effective_triangle_budget() -> int:
+    """Per-mesh triangle budget adjusted for the active backend (see the
+    CPU-path cost note above). An env-var pin or a caller-assigned
+    ``DEFAULT_TRIANGLE_BUDGET`` is honored verbatim. Backend probing is
+    deferred to call time so importing the package never initializes XLA
+    (CLAUDE.md invariant)."""
+    if _BUDGET_PINNED or DEFAULT_TRIANGLE_BUDGET != _IMPORT_DEFAULT:
+        return DEFAULT_TRIANGLE_BUDGET
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - jax always importable here
+        backend = "cpu"
+    if backend == "tpu":
+        return DEFAULT_TRIANGLE_BUDGET
+    return max(64, DEFAULT_TRIANGLE_BUDGET // 4)
 
 
 def load_mesh(path: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -171,7 +200,7 @@ def mesh_to_triangle_prims(path: str, scale=(1.0, 1.0, 1.0),
                            budget: int = None):
     """Load + scale + decimate a mesh file into triangle-primitive arrays
     (origin, rot, size) — see triangles_to_frames."""
-    budget = budget or DEFAULT_TRIANGLE_BUDGET
+    budget = budget or _effective_triangle_budget()
     verts, faces = load_mesh(path)
     verts = verts * np.asarray(scale, np.float64)
     verts, faces = decimate_vertex_clustering(verts, faces, budget)

@@ -53,6 +53,11 @@ def put_sharded(value, sharding: NamedSharding):
     standard multi-host array construction)."""
     if sharding.is_fully_addressable:
         return jax.device_put(value, sharding)
+    if isinstance(value, jax.Array) and value.sharding == sharding:
+        # already laid out globally as requested (e.g. shard_env_pytree
+        # applied to an already-sharded tree) — np.asarray would raise on
+        # a non-addressable global array, and there is nothing to move
+        return value
     host = np.asarray(value)
     return jax.make_array_from_callback(host.shape, sharding,
                                         lambda idx: host[idx])

@@ -1,0 +1,249 @@
+"""Scaling-efficiency measurement harness (BASELINE: ">=80% scaling
+efficiency at N>=2 hosts").
+
+Real multi-chip hardware is not reachable from this image, so the >=80%
+number itself cannot be measured here — but the machinery that WILL measure
+it on a real pod can be built and rehearsed. This module runs the SAME
+sharded PPO train step in (a) a single process and (b) an N-process
+jax.distributed cluster (gloo over TCP on CPU; ICI collectives on a real
+pod), times the steady state of each with identical per-device work (weak
+scaling: envs_per_device held constant), and emits one JSON line with the
+aggregate env-steps/s and the scaling efficiency.
+
+The CPU/gloo numbers are a REHEARSAL of the harness, not a perf claim —
+gloo-over-loopback bandwidth and host-CPU contention between the local
+worker processes do not model ICI. On a TPU pod, run per host:
+
+    python -m aerial_gym_simulator_tpu.parallel.scaling \
+        --process_id <i> --num_processes <N> --coordinator host0:port
+
+(or let initialize_multihost auto-detect the Cloud TPU pod environment by
+omitting the flags), then compare against a single-host run of the same
+per-device config.
+
+Reference analog: the reference scales only to one GPU plus optional
+horovod gradient all-reduce (rl_training/rl_games/runner.py:260-265) and
+ships no scaling harness; this is the SURVEY 5.8 measurement tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def timed_train_steps_per_s(task_name: str, num_envs: int, horizon: int,
+                            warmup_iters: int, timed_iters: int,
+                            seed: int = 0) -> float:
+    """Build task + PPO trainer, shard over every visible device, run
+    warmup (includes compile), then time `timed_iters` train iterations.
+    Returns aggregate env-steps/s. Timing is completion-anchored by a host
+    fetch of the learner (CLAUDE.md tunneled-backend rule)."""
+    import jax
+    import numpy as np
+
+    import aerial_gym_simulator_tpu as ag
+    from ..rl.ppo import PPOConfig, PPOTrainer
+    from .distributed import shard_trainer
+
+    task = ag.task_registry.make_task(task_name, num_envs=num_envs,
+                                      seed=seed)
+    cfg = PPOConfig(num_envs=num_envs, horizon=horizon,
+                    minibatch_size=max(num_envs * horizon // 4, 1),
+                    epochs=1, seed=seed)
+    trainer = PPOTrainer(task, cfg)
+    shard_trainer(trainer)
+
+    steps_per_iter = num_envs * horizon
+
+    def fetch_anchor():
+        leaf = jax.tree_util.tree_leaves(trainer.train_state.params)[0]
+        return float(np.sum(np.asarray(jax.device_get(
+            leaf.addressable_data(0)))))
+
+    trainer.train(total_env_steps=steps_per_iter * warmup_iters,
+                  log_every=max(warmup_iters, 1))
+    fetch_anchor()
+    t0 = time.perf_counter()
+    trainer.train(total_env_steps=steps_per_iter * timed_iters,
+                  log_every=max(timed_iters, 1))
+    fetch_anchor()
+    dt = time.perf_counter() - t0
+    return steps_per_iter * timed_iters / dt
+
+
+def run_worker(process_id: int, num_processes: int, coordinator: str,
+               local_devices: int, task_name: str, envs_per_device: int,
+               horizon: int, warmup_iters: int, timed_iters: int) -> None:
+    """One timing process. With num_processes=1 this IS the single-process
+    baseline — both legs run the identical code path so the comparison is
+    fair. Process 0 prints `SCALING_RESULT {json}`."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+    from .distributed import initialize_multihost
+
+    initialize_multihost(coordinator_address=coordinator,
+                         num_processes=num_processes,
+                         process_id=process_id, require=True)
+    n_global = jax.device_count()
+    assert n_global == num_processes * local_devices
+
+    num_envs = envs_per_device * n_global
+    sps = timed_train_steps_per_s(task_name, num_envs, horizon,
+                                  warmup_iters, timed_iters)
+
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("scaling_timed")
+    if process_id == 0:
+        print("SCALING_RESULT " + json.dumps({
+            "num_processes": num_processes,
+            "global_devices": n_global,
+            "num_envs": num_envs,
+            "steps_per_s": sps,
+        }), flush=True)
+    print(f"SCALING_WORKER_OK {process_id}/{num_processes}", flush=True)
+
+
+def _spawn_leg(num_processes: int, local_devices: int, task_name: str,
+               envs_per_device: int, horizon: int, warmup_iters: int,
+               timed_iters: int, timeout_s: float) -> dict:
+    """Launch one timing leg (1 or N processes) and return its
+    SCALING_RESULT dict."""
+    from .multiproc import _free_port
+
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("JAX_PLATFORMS", None)
+
+    procs, logs = [], []
+    try:
+        for pid in range(num_processes):
+            log = tempfile.NamedTemporaryFile(
+                mode="w+", prefix=f"scaling_w{pid}_", suffix=".log",
+                delete=False)
+            logs.append(log)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m",
+                 "aerial_gym_simulator_tpu.parallel.scaling",
+                 "--process_id", str(pid),
+                 "--num_processes", str(num_processes),
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--local_devices", str(local_devices),
+                 "--task", task_name,
+                 "--envs_per_device", str(envs_per_device),
+                 "--horizon", str(horizon),
+                 "--warmup_iters", str(warmup_iters),
+                 "--timed_iters", str(timed_iters)],
+                cwd=repo_root, env=env, stdout=log,
+                stderr=subprocess.STDOUT, text=True))
+        for p in procs:
+            try:
+                p.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                p.kill()   # exact PID only — never pattern-kill
+                p.wait()
+        outputs = []
+        for log in logs:
+            log.flush()
+            log.seek(0)
+            outputs.append(log.read())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for log in logs:
+            log.close()
+            os.unlink(log.name)
+
+    for pid, (p, out) in enumerate(zip(procs, outputs)):
+        if p.returncode != 0:
+            tail = "\n".join(out.splitlines()[-25:])
+            raise RuntimeError(
+                f"scaling worker {pid} failed (rc={p.returncode}):\n{tail}")
+    for line in outputs[0].splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError("no SCALING_RESULT line from process 0:\n"
+                       + outputs[0][-2000:])
+
+
+def run_rehearsal(num_processes: int = 2, local_devices: int = 2,
+                  task_name: str = "position_setpoint_task",
+                  envs_per_device: int = 64, horizon: int = 16,
+                  warmup_iters: int = 3, timed_iters: int = 20,
+                  timeout_s: float = 1500.0, verbose: bool = True) -> dict:
+    """Run the 1-process baseline and the N-process cluster with identical
+    per-device work; emit ONE JSON line with aggregate steps/s for both and
+    the weak-scaling efficiency. CPU/gloo rehearsal of the pod harness —
+    explicitly NOT a TPU perf claim."""
+    single = _spawn_leg(1, local_devices, task_name, envs_per_device,
+                        horizon, warmup_iters, timed_iters, timeout_s)
+    multi = _spawn_leg(num_processes, local_devices, task_name,
+                       envs_per_device, horizon, warmup_iters, timed_iters,
+                       timeout_s)
+    scaleup = multi["global_devices"] / single["global_devices"]
+    efficiency = multi["steps_per_s"] / (single["steps_per_s"] * scaleup)
+    summary = {
+        "metric": "scaling_efficiency_rehearsal",
+        "mode": "cpu-gloo rehearsal of the pod harness — NOT a perf claim",
+        # all worker processes share this host's cores: with fewer cores
+        # than global devices the efficiency number measures core
+        # contention, not collective overhead (on a pod each process owns
+        # its own host + chips)
+        "host_cpu_count": os.cpu_count(),
+        "task": task_name,
+        "weak_scaling_envs_per_device": envs_per_device,
+        "single_process": single,
+        "multi_process": multi,
+        "efficiency": round(efficiency, 4),
+        "baseline_target": ">=0.80 at N>=2 hosts (measure on a real pod)",
+    }
+    if verbose:
+        print(json.dumps(summary), flush=True)
+    return summary
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--rehearse", type=int, default=None, metavar="N",
+                    help="run the full 1-vs-N-process rehearsal locally")
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--num_processes", type=int, default=2)
+    ap.add_argument("--coordinator", default=None)
+    ap.add_argument("--local_devices", type=int, default=2)
+    ap.add_argument("--task", default="position_setpoint_task")
+    ap.add_argument("--envs_per_device", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=16)
+    ap.add_argument("--warmup_iters", type=int, default=3)
+    ap.add_argument("--timed_iters", type=int, default=20)
+    args = ap.parse_args(argv)
+    if args.rehearse is not None:
+        run_rehearsal(args.rehearse, args.local_devices, args.task,
+                      args.envs_per_device, args.horizon,
+                      args.warmup_iters, args.timed_iters)
+        return
+    if args.process_id is None or args.coordinator is None:
+        ap.error("worker mode needs --process_id and --coordinator "
+                 "(or use --rehearse N)")
+    run_worker(args.process_id, args.num_processes, args.coordinator,
+               args.local_devices, args.task, args.envs_per_device,
+               args.horizon, args.warmup_iters, args.timed_iters)
+
+
+if __name__ == "__main__":
+    main()

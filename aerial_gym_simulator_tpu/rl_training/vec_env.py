@@ -44,7 +44,16 @@ class AerialGymVecEnv:
     (the reference wraps the IG spaces through convert_space), expects
     bool terminated/truncated arrays it can bitwise-or, may hand actions
     over as torch tensors, and never calls reset() between episodes in
-    batched mode (the fused task steps auto-reset internally)."""
+    batched mode (the fused task steps auto-reset internally).
+
+    Seeding: construction-time seeding is authoritative. The task's
+    per-env PRNG keys live inside the jitted SimState and are derived from
+    the seed passed to ``make_task`` — the ``seed=`` kwarg sample-factory
+    hands to ``reset()`` (see the pinned transcript) cannot re-key a
+    running fused program, so ``reset`` forwards it to ``task.seed()``
+    (host-side np RNG for any host randomization) and otherwise ignores
+    it, matching the reference where IsaacGym also seeds at sim build
+    only (train_aerialgym.py seeds before env construction)."""
 
     def __init__(self, task, obs_key: str = "observations"):
         self.task = task
@@ -65,7 +74,9 @@ class AerialGymVecEnv:
             self.observation_space = None
             self.action_space = None
 
-    def reset(self, *args, **kwargs):
+    def reset(self, *args, seed=None, **kwargs):
+        if seed is not None and hasattr(self.task, "seed"):
+            self.task.seed(seed)   # host-side RNG only; see class docstring
         obs, *_ = self.task.reset()
         return {"obs": np.asarray(obs[self.obs_key])}, {}
 
