@@ -31,6 +31,30 @@ NO_HIT_SEGMENTATION_VAL = -2
 
 _BIG = 1e10
 
+# ---------------------------------------------------------------------------
+# RGB shading constants (shared by the XLA-side oracle shade_rgb in
+# sensors/raycast_sensor.py and the in-kernel Pallas shader in
+# raycast_pallas.py — they must stay in lockstep). numpy constants only:
+# importing the package must not touch the XLA backend.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+# Albedo palette indexed by |segmentation id| % len (matches the offline
+# viewer's colorization so onboard RGB and the spectator view agree).
+SEG_ALBEDO = _np.array([
+    [0.91, 0.30, 0.24], [0.18, 0.80, 0.44], [0.20, 0.60, 0.86],
+    [0.95, 0.77, 0.06], [0.61, 0.35, 0.71], [0.10, 0.74, 0.61],
+    [0.90, 0.49, 0.13], [0.52, 0.58, 0.65], [0.93, 0.94, 0.95],
+    [0.75, 0.22, 0.17],
+], _np.float32)
+
+# overhead-ish sun, normalized at import time (numpy)
+SUN_DIR = _np.array([0.35, -0.25, 0.90], _np.float32)
+SUN_DIR /= _np.linalg.norm(SUN_DIR)
+SKY_RGB = _np.array([0.70, 0.80, 0.92], _np.float32)
+RGB_AMBIENT = 0.35
+
 
 def _safe_div(a, b):
     return a / jnp.where(jnp.abs(b) < 1e-12, jnp.where(b < 0, -1e-12, 1e-12), b)

@@ -33,7 +33,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .raycast import NO_HIT_RAY_VAL, NO_HIT_SEGMENTATION_VAL
+from .raycast import (NO_HIT_RAY_VAL, NO_HIT_SEGMENTATION_VAL, RGB_AMBIENT,
+                      SEG_ALBEDO, SKY_RGB, SUN_DIR)
 
 _BIG = 1e10
 # 64x128 = 8192 rays per kernel instance: amortizes the per-primitive scalar
@@ -88,14 +89,24 @@ def _safe_inv_scalar(x):
 
 def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                  max_range: float, tile_rows: int, want_seg: bool = True,
-                 want_normals: bool = False):
+                 want_normals: bool = False, want_rgb: bool = False):
     P = n_box + n_cyl + n_sph + n_tri
+    # sun direction as compile-time scalars (in-kernel Lambert shading)
+    _SX, _SY, _SZ = (float(SUN_DIR[0]), float(SUN_DIR[1]), float(SUN_DIR[2]))
 
     def kernel(pose_ref, prim_ref, mask_ref, dx_ref, dy_ref, dz_ref, mult_ref,
                *outs):
-        f_scr = nx_scr = ny_scr = nz_scr = None
+        f_scr = nx_scr = ny_scr = nz_scr = l_scr = None
         face_ref = onx_ref = ony_ref = onz_ref = None
-        if want_normals:
+        r_ref = g_ref = b_ref = None
+        if want_rgb:
+            # RGB mode tracks one Lambert scalar |n.sun| per ray instead of
+            # the full normal + face id (shading needs nothing else), and
+            # shades in-kernel at tile end: 3 RGB planes + depth + seg out,
+            # no face/normal image DMAs and no XLA-side shading pass.
+            (depth_ref, seg_ref, r_ref, g_ref, b_ref,
+             t_scr, s_scr, l_scr) = outs
+        elif want_normals:
             (depth_ref, seg_ref, face_ref, onx_ref, ony_ref, onz_ref,
              t_scr, s_scr, f_scr, nx_scr, ny_scr, nz_scr) = outs
         elif want_seg:
@@ -115,9 +126,11 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                                           dx_ref[:], dy_ref[:], dz_ref[:])
 
         t_scr[:] = jnp.full((tile_rows, _LANES), _BIG, jnp.float32)
-        if want_seg or want_normals:
+        if want_seg or want_normals or want_rgb:
             s_scr[:] = jnp.full((tile_rows, _LANES),
                                 float(NO_HIT_SEGMENTATION_VAL), jnp.float32)
+        if want_rgb:
+            l_scr[:] = jnp.zeros((tile_rows, _LANES), jnp.float32)
         if want_normals:
             f_scr[:] = jnp.full((tile_rows, _LANES), -1.0, jnp.float32)
             nx_scr[:] = jnp.zeros((tile_rows, _LANES), jnp.float32)
@@ -163,6 +176,24 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                 # one min instead of compare + two selects, no seg image DMA
                 t_scr[:] = jnp.minimum(t_scr[:], t)
 
+        def update_l(t, sem, l):
+            """RGB mode: track the winning primitive's semantic id (albedo
+            key) and its Lambert scalar |n.sun| — sign-invariant, so no
+            normal orientation pass is needed (the oracle shade_rgb takes
+            abs() of the oriented normal's dot with the sun)."""
+            closer = t < t_scr[:]
+            s_scr[:] = jnp.where(closer, sem, s_scr[:])
+            l_scr[:] = jnp.where(closer, l, l_scr[:])
+            t_scr[:] = jnp.where(closer, t, t_scr[:])
+
+        def sun_in_prim(r):
+            """R^T sun (scalar per prim): (R n_p).sun = n_p.(R^T sun) —
+            lets Lambert run on the prim-frame normal with 3 tile mults
+            instead of a 9-mult rotation to world."""
+            return (r[0] * _SX + r[3] * _SY + r[6] * _SZ,
+                    r[1] * _SX + r[4] * _SY + r[7] * _SZ,
+                    r[2] * _SX + r[5] * _SY + r[8] * _SZ)
+
         def update_n(t, sem, p_idx, nxw, nyw, nzw):
             """Normals mode: also track the winning primitive index ("face
             id", reference warp_camera_kernels.py:68-121) and its WORLD
@@ -198,7 +229,7 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             hit = tmax >= jnp.maximum(tmin, 0.0)
             t = jnp.where(tmin > 0.0, tmin, tmax)
             t = jnp.where(hit & (t > 0.0), t, _BIG)
-            if not want_normals:
+            if not (want_normals or want_rgb):
                 update(t, sem)
                 return
             # normal: dominant axis of |hit|/half in the prim frame (same
@@ -211,6 +242,13 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             qz_ = jnp.abs(pz) * _safe_inv_scalar(hz)
             pickx = (qx_ >= qy_) & (qx_ >= qz_)
             picky = jnp.logical_not(pickx) & (qy_ >= qz_)
+            if want_rgb:
+                sux, suy, suz = sun_in_prim(r)
+                lam = jnp.where(pickx, jnp.sign(px) * sux,
+                                jnp.where(picky, jnp.sign(py) * suy,
+                                          jnp.sign(pz) * suz))
+                update_l(t, sem, jnp.abs(lam))
+                return
             pickz = jnp.logical_not(pickx) & jnp.logical_not(picky)
             zero = jnp.zeros_like(px)
             nxp = jnp.where(pickx, jnp.sign(px), zero)
@@ -247,7 +285,7 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
                 return jnp.where(ok, t, _BIG)
 
             t = jnp.minimum(t_side, jnp.minimum(cap_t(tc0), cap_t(tc1)))
-            if not want_normals:
+            if not (want_normals or want_rgb):
                 update(t, sem)
                 return
             # side: radial (x, y, 0)/|.|; cap: (0, 0, sign z) — same 1e-4
@@ -257,6 +295,12 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             pz = roz + t * rdz
             on_cap = jnp.abs(jnp.abs(pz) - half) < 1e-4
             inv_len = jax.lax.rsqrt(jnp.maximum(px * px + py * py, 1e-18))
+            if want_rgb:
+                sux, suy, suz = sun_in_prim(r)
+                lam = jnp.where(on_cap, jnp.sign(pz) * suz,
+                                (px * sux + py * suy) * inv_len)
+                update_l(t, sem, jnp.abs(lam))
+                return
             nxp = jnp.where(on_cap, 0.0, px * inv_len)
             nyp = jnp.where(on_cap, 0.0, py * inv_len)
             nzp = jnp.where(on_cap, jnp.sign(pz), 0.0)
@@ -280,11 +324,16 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             t1_ = -b + sq
             t = jnp.where(t0_ > 0.0, t0_, t1_)
             t = jnp.where((disc >= 0.0) & (t > 0.0) & (radius > 0.0), t, _BIG)
-            if not want_normals:
+            if not (want_normals or want_rgb):
                 update(t, sem)
                 return
             # radial normal, directly in world frame: (hit - center)/radius
             inv_r = _safe_inv_scalar(radius)
+            if want_rgb:
+                lam = ((rox + t * rdx) * _SX + (roy + t * rdy) * _SY
+                       + (roz + t * rdz) * _SZ) * inv_r
+                update_l(t, sem, jnp.abs(lam))
+                return
             update_n(t, sem, p, (rox + t * rdx) * inv_r,
                      (roy + t * rdy) * inv_r, (roz + t * rdz) * inv_r)
 
@@ -304,8 +353,14 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
             ok = ((t > 0.0) & (u >= -eps) & (v >= -eps)
                   & (u + v <= 1.0 + eps) & (sa > 0.0))
             t = jnp.where(ok, t, _BIG)
-            if not want_normals:
+            if not (want_normals or want_rgb):
                 update(t, sem)
+                return
+            if want_rgb:
+                # plane normal is R column 3: Lambert is a pure SCALAR
+                # (r2, r5, r8).sun — zero extra tile math for triangles
+                lam = r[2] * _SX + r[5] * _SY + r[8] * _SZ
+                update_l(t, sem, jnp.abs(lam) * jnp.ones_like(t))
                 return
             # plane normal is +z in the triangle frame: world = R column 3
             # (scalar constants — no tile math at all)
@@ -341,6 +396,32 @@ def _make_kernel(n_box: int, n_cyl: int, n_sph: int, n_tri: int,
 
         t_best = t_scr[:]
         miss = t_best >= jnp.minimum(max_range, 0.5 * _BIG)
+        if want_rgb:
+            # in-kernel Lambert shade (lockstep with the XLA oracle
+            # shade_rgb in sensors/raycast_sensor.py): albedo by palette
+            # select on the winning semantic id, shade = ambient +
+            # (1-ambient)|n.sun|, distance fade on the TRUE depth
+            # (mult_ref carries the caller's depth multiplier in this
+            # mode), sky on miss. Palette selects run once per tile at
+            # sweep end — per-primitive cost is only the extra Lambert
+            # scratch select in update_l.
+            s_best = jnp.where(miss, float(NO_HIT_SEGMENTATION_VAL), s_scr[:])
+            seg_ref[0] = s_best.astype(jnp.int32)
+            depth_px = t_best * mult_ref[:]
+            depth_ref[0] = jnp.where(miss, NO_HIT_RAY_VAL, depth_px)
+            shade = RGB_AMBIENT + (1.0 - RGB_AMBIENT) * l_scr[:]
+            fade = 1.0 - 0.5 * jnp.clip(depth_px / max_range, 0.0, 1.0)
+            lit = shade * fade
+            n_pal = SEG_ALBEDO.shape[0]
+            k = jnp.mod(jnp.abs(s_best), float(n_pal))
+            for c, ref in ((0, r_ref), (1, g_ref), (2, b_ref)):
+                albedo_c = jnp.zeros_like(lit)
+                for pal_k in range(n_pal):
+                    albedo_c = jnp.where(k == float(pal_k),
+                                         float(SEG_ALBEDO[pal_k, c]),
+                                         albedo_c)
+                ref[0] = jnp.where(miss, float(SKY_RGB[c]), albedo_c * lit)
+            return
         t_best = jnp.where(miss, NO_HIT_RAY_VAL, t_best)
         depth_ref[0] = t_best * mult_ref[:]
         if want_seg or want_normals:
@@ -401,12 +482,12 @@ def pack_prims_world(scene, obstacle_pos, obstacle_quat):
 @functools.partial(jax.jit, static_argnames=("n_box", "n_cyl", "n_sph",
                                              "n_tri", "max_range",
                                              "want_seg", "want_normals",
-                                             "interpret",
+                                             "want_rgb", "interpret",
                                              "debug_force_mask"))
 def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
                    n_sph: int, max_range: float, want_seg: bool = True,
                    interpret: bool = False, n_tri: int = 0,
-                   want_normals: bool = False,
+                   want_normals: bool = False, want_rgb: bool = False,
                    debug_force_mask: str | None = None):
     """pose (N,8), prims (N,P,16), dirs (R,3) sensor-frame already rotated
     to WORLD per env? No — dirs are sensor-frame; pose quat rotates them
@@ -420,10 +501,20 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     want_normals=True (implies seg) additionally returns the world-frame
     surface normal (N, R, 3) and hit primitive index "face id" (N, R)
     int32, -1 on miss — the training-rate path for the reference's
-    NormalFaceID sensors and the RGB modality
-    (warp_camera_kernels.py:68-121); depth-only configs pay nothing.
-    Returns (depth, seg[, normal, face]).
+    NormalFaceID sensors (warp_camera_kernels.py:68-121); depth-only
+    configs pay nothing. Returns (depth, seg[, normal, face]).
+
+    want_rgb=True (exclusive with want_normals) Lambert-shades IN-KERNEL
+    and returns (depth, seg, rgb (N, R, 3) f32 in [0, 1]) — the onboard
+    RGB modality (reference isaacgym_camera_sensor.py IMAGE_COLOR) with
+    no face/normal image DMAs and no XLA-side shading pass. In this mode
+    `mult` must be the caller's real depth multiplier (the distance fade
+    needs true depth in-kernel); depth comes back with it applied and
+    NO_HIT_RAY_VAL exactly on misses. Lockstep oracle:
+    sensors/raycast_sensor.py shade_rgb over raycast_batched_normals.
     """
+    assert not (want_rgb and want_normals), (
+        "want_rgb and want_normals are exclusive kernel modes")
     N = pose.shape[0]
     R = dirs.shape[0]
     # adaptive tile: small sensors (e.g. 8x8 ToF = 64 rays) must not pad
@@ -528,10 +619,10 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     # attribute-major packs all P prims into 19 padded rows (~160 KB).
     prims = jnp.transpose(prims, (0, 2, 1))                    # (N, 19, P)
 
-    if want_normals:
+    if want_normals or want_rgb:
         want_seg = True
     kernel = _make_kernel(n_box, n_cyl, n_sph, n_tri, max_range, tile_rows,
-                          want_seg, want_normals)
+                          want_seg, want_normals, want_rgb)
     tile_spec = pl.BlockSpec((1, tile_rows, _LANES), lambda e, j: (e, j, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [tile_spec]
@@ -541,6 +632,12 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
         out_specs.append(tile_spec)
         out_shape.append(jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32))
         scratch_shapes.append(pltpu.VMEM((tile_rows, _LANES), jnp.float32))
+    if want_rgb:
+        out_specs.extend([tile_spec] * 3)       # r, g, b planes
+        out_shape.extend([jax.ShapeDtypeStruct((N, rows, _LANES),
+                                               jnp.float32)] * 3)
+        scratch_shapes.append(                   # lambert |n.sun|
+            pltpu.VMEM((tile_rows, _LANES), jnp.float32))
     if want_normals:
         out_specs.extend([tile_spec] * 4)       # face, nx, ny, nz
         out_shape.append(jax.ShapeDtypeStruct((N, rows, _LANES), jnp.int32))
@@ -578,6 +675,10 @@ def raycast_pallas(pose, prims, dirs, mult, n_box: int, n_cyl: int,
     if not want_seg:
         return depth, None
     seg = outs[1].reshape(N, R_pad)[:, :R]
+    if want_rgb:
+        rgb = jnp.stack([o.reshape(N, R_pad)[:, :R] for o in outs[2:5]],
+                        axis=-1)
+        return depth, seg, rgb
     if not want_normals:
         return depth, seg
     face = outs[2].reshape(N, R_pad)[:, :R]

@@ -171,6 +171,12 @@ def column_split_dirs(dirs_flat, H: int, W: int):
                          (1, 0, 2, 3)).reshape(H * W, 3)
 
 
+def column_split_flat(x, H: int, W: int):
+    """column_split_dirs ordering for a flat per-ray (R,) table (e.g. the
+    depth-multiplier fed to the in-kernel RGB shader)."""
+    return jnp.transpose(x.reshape(H, 2, W // 2), (1, 0, 2)).reshape(H * W)
+
+
 def column_unsplit_image(img, N: int, H: int, W: int):
     """Undo column_split_dirs ordering on a rendered (N, R[, C...]) image."""
     lead = img.shape[2:]
@@ -352,21 +358,11 @@ def render_normal_faceid(params: SimParams, state: SimState,
 # RGB camera modality
 # ---------------------------------------------------------------------------
 
-# Albedo palette indexed by |segmentation id| (matches the offline viewer's
-# colorization so onboard RGB and the spectator view agree). numpy constant:
-# importing the package must not touch the XLA backend.
-SEG_ALBEDO = np.array([
-    [0.91, 0.30, 0.24], [0.18, 0.80, 0.44], [0.20, 0.60, 0.86],
-    [0.95, 0.77, 0.06], [0.61, 0.35, 0.71], [0.10, 0.74, 0.61],
-    [0.90, 0.49, 0.13], [0.52, 0.58, 0.65], [0.93, 0.94, 0.95],
-    [0.75, 0.22, 0.17],
-], np.float32)
-
-# overhead-ish sun, normalized at import time (numpy)
-_SUN_DIR = np.array([0.35, -0.25, 0.90], np.float32)
-_SUN_DIR /= np.linalg.norm(_SUN_DIR)
-_SKY_RGB = np.array([0.70, 0.80, 0.92], np.float32)
-_RGB_AMBIENT = 0.35
+# Shading constants live next to the oracle caster (ops/raycast.py) so the
+# Pallas in-kernel shader shares them without an import cycle; re-exported
+# here under the historical names for existing importers.
+from ..ops.raycast import (RGB_AMBIENT as _RGB_AMBIENT, SEG_ALBEDO,
+                           SKY_RGB as _SKY_RGB, SUN_DIR as _SUN_DIR)
 
 
 def shade_rgb(depth, normals, face_id, seg, max_range):
@@ -412,8 +408,45 @@ def render_rgb(params: SimParams, state: SimState, sp: RaySensorParams,
     136). Here it is one more shading of the unified ray-cast render, fully
     on device.
 
+    On TPU the whole modality runs in ONE Pallas kernel pass (want_rgb
+    mode): the kernel tracks a single Lambert scalar per ray instead of
+    the full normal + face id, shades against the palette constants at
+    tile end, and emits the three RGB planes directly — no face/normal
+    image DMAs and no XLA-side shading (round-3 rgb_breakdown: 44.1
+    ms/frame via the normals path at 1024x135x240; the in-kernel path
+    drops the 10.7 ms XLA shade + 4 image DMAs and most of the per-prim
+    normal tracking). The oracle path below (render_normal_faceid +
+    shade_rgb) is the CPU fallback and the correctness anchor
+    (tests/test_raycast_pallas.py rgb differential).
+
     Returns (rgb (N,H,W,3) f32 in [0,1], depth (N,H,W), seg (N,H,W)).
     """
+    sc = params.scene
+    if (jax.default_backend() == "tpu" and sc is not None
+            and sc.num_env_prims > 0):
+        from ..ops import raycast_pallas as rp
+
+        N = state.pos.shape[0]
+        H, W = sp.height, sp.width
+        R = H * W
+        pos_w, quat_w = sensor_world_pose(sp, state, mount_pos, mount_quat)
+        dirs_flat = sp.dirs.reshape(R, 3)
+        mult = sp.depth_multiplier.reshape(R)
+        split = (W % 2 == 0) and (R >= 2 * rp.TILE_RAYS)
+        dirs_use = column_split_dirs(dirs_flat, H, W) if split else dirs_flat
+        mult_use = column_split_flat(mult, H, W) if split else mult
+        prims = rp.pack_prims_world(sc, state.obstacle_pos,
+                                    state.obstacle_quat)
+        depth, seg, rgb = rp.raycast_pallas(
+            rp.pack_pose(pos_w, quat_w), prims, dirs_use, mult_use,
+            sc.n_box, sc.n_cyl, sc.n_sph, float(sp.max_range),
+            n_tri=sc.n_tri, want_rgb=True)
+        if split:
+            depth = column_unsplit_image(depth, N, H, W)
+            seg = column_unsplit_image(seg, N, H, W)
+            rgb = column_unsplit_image(rgb, N, H, W)
+        return (rgb.reshape(N, H, W, 3), depth.reshape(N, H, W),
+                seg.reshape(N, H, W))
     depth, normals, face, seg = render_normal_faceid(params, state, sp,
                                                      mount_pos, mount_quat)
     rgb = shade_rgb(depth, normals, face, seg, sp.max_range)

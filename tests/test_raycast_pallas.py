@@ -206,6 +206,103 @@ def test_pallas_normals_all_kinds_synthetic():
     np.testing.assert_allclose(n_pal, analytic, atol=1e-3)
 
 
+def test_pallas_rgb_matches_oracle_shading(obstacle_env):
+    """want_rgb mode (in-kernel Lambert shading, round-4 item: the RGB
+    modality with no face/normal DMAs and no XLA-side shade) in lockstep
+    with the oracle pipeline shade_rgb(raycast_batched_normals(...))."""
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import shade_rgb
+    from aerial_gym_simulator_tpu.utils.math import quat_rotate
+
+    env = obstacle_env
+    params, state = env.params, env.state
+    sc = params.scene
+    H, W = 8, 128
+    ys, xs = np.meshgrid(np.linspace(-0.4, 0.4, H),
+                         np.linspace(-0.6, 0.6, W), indexing="ij")
+    dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
+    R = dirs.shape[0]
+    max_range = 4.0   # leaves both hits and misses (sky pixels)
+    # non-trivial depth multiplier (range -> z-depth cos factors) so the
+    # in-kernel fade is exercised on the true depth, not raw range
+    mult = jnp.asarray(np.asarray(dirs)[:, 2], jnp.float32)
+
+    rd_world = quat_rotate(state.quat[:, None, :], dirs[None, :, :])
+    t_ref, sem_ref, n_ref, face_ref = raycast.raycast_batched_normals(
+        sc, state.obstacle_pos, state.obstacle_quat, state.pos, rd_world,
+        max_range)
+    depth_ref = jnp.where(face_ref >= 0, t_ref * mult[None, :],
+                          raycast.NO_HIT_RAY_VAL)
+    rgb_ref = shade_rgb(depth_ref, n_ref, face_ref, sem_ref, max_range)
+
+    prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+    depth_pal, seg_pal, rgb_pal = rp.raycast_pallas(
+        rp.pack_pose(state.pos, state.quat), prims, dirs, mult,
+        sc.n_box, sc.n_cyl, sc.n_sph, float(max_range), want_rgb=True,
+        n_tri=sc.n_tri, interpret=True)
+
+    depth_ref = np.asarray(depth_ref)
+    rgb_ref = np.asarray(rgb_ref)
+    depth_pal = np.asarray(depth_pal)
+    seg_pal = np.asarray(seg_pal)
+    rgb_pal = np.asarray(rgb_pal)
+    face_ref = np.asarray(face_ref)
+
+    hit = face_ref >= 0
+    assert hit.any() and (~hit).any()
+    np.testing.assert_allclose(depth_pal, depth_ref, atol=2e-3)
+    # misses carry exact NO_HIT depth / seg / sky color
+    assert (depth_pal[~hit] == raycast.NO_HIT_RAY_VAL).all()
+    assert (seg_pal[~hit] == raycast.NO_HIT_SEGMENTATION_VAL).all()
+    np.testing.assert_allclose(rgb_pal[~hit], rgb_ref[~hit], atol=1e-6)
+    # shaded pixels agree where the same primitive won (razor ties aside)
+    same = seg_pal == np.asarray(sem_ref)
+    assert same.mean() > 0.995
+    np.testing.assert_allclose(rgb_pal[hit & same], rgb_ref[hit & same],
+                               atol=5e-3)
+    assert rgb_pal.min() >= 0.0 and rgb_pal.max() <= 1.0 + 1e-6
+
+
+def test_pallas_rgb_column_split_ordering_invariant(obstacle_env):
+    """The TPU render_rgb wrapper feeds rays in column-half order (tighter
+    view cones) and unsplits the images; the result must equal the
+    row-major order bit-for-tolerance — including the reordered depth
+    multiplier (the one input unique to rgb mode)."""
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        column_split_dirs, column_split_flat, column_unsplit_image)
+
+    env = obstacle_env
+    params, state = env.params, env.state
+    sc = params.scene
+    N = state.pos.shape[0]
+    H, W = 8, 128
+    ys, xs = np.meshgrid(np.linspace(-0.4, 0.4, H),
+                         np.linspace(-0.6, 0.6, W), indexing="ij")
+    dirs = np.stack([xs, ys, np.ones_like(xs)], axis=-1)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs.reshape(-1, 3), jnp.float32)
+    mult = jnp.asarray(np.asarray(dirs)[:, 2], jnp.float32)
+    prims = rp.pack_prims_world(sc, state.obstacle_pos, state.obstacle_quat)
+    pose = rp.pack_pose(state.pos, state.quat)
+
+    d_a, s_a, rgb_a = rp.raycast_pallas(pose, prims, dirs, mult, sc.n_box,
+                                        sc.n_cyl, sc.n_sph, 4.0,
+                                        want_rgb=True, n_tri=sc.n_tri,
+                                        interpret=True)
+    d_b, s_b, rgb_b = rp.raycast_pallas(
+        pose, prims, column_split_dirs(dirs, H, W),
+        column_split_flat(mult, H, W), sc.n_box, sc.n_cyl, sc.n_sph, 4.0,
+        want_rgb=True, n_tri=sc.n_tri, interpret=True)
+    d_b = column_unsplit_image(d_b, N, H, W)
+    s_b = column_unsplit_image(s_b, N, H, W)
+    rgb_b = column_unsplit_image(rgb_b, N, H, W)
+    np.testing.assert_allclose(np.asarray(d_b), np.asarray(d_a), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_a))
+    np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_a),
+                               atol=1e-6)
+
+
 def test_pallas_depth_only_matches_seg_variant(obstacle_env):
     """want_seg=False must produce identical depth (and None seg) — the
     depth-only fast path used by the fused navigation steps."""
