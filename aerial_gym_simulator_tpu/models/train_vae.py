@@ -61,6 +61,12 @@ def main(argv=None):
                         "tags, so any size deploys unchanged)")
     p.add_argument("--vit_depth", type=int, default=4)
     p.add_argument("--vit_heads", type=int, default=4)
+    p.add_argument("--vit_attn", choices=["xla", "flash"], default="xla",
+                   help="attention implementation (--arch vit): 'flash' "
+                        "routes through the Pallas TPU flash-attention "
+                        "kernel — same checkpoint format, large dims "
+                        "train attention-HBM-unbound (scripts/"
+                        "vit_attention_bench.py has the measurements)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)
@@ -79,7 +85,7 @@ def main(argv=None):
         from .vit import DepthViT
         model = DepthViT(latent_dim=args.latent_dim, out_hw=(H, W),
                          dim=args.vit_dim, depth=args.vit_depth,
-                         num_heads=args.vit_heads)
+                         num_heads=args.vit_heads, attn_impl=args.vit_attn)
     else:
         model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
     key = jax.random.PRNGKey(args.seed)
