@@ -999,6 +999,11 @@ def main():
     p.add_argument("--save", default=None,
                    help="write the final learner checkpoint (pickle, the "
                         "load_checkpoint/export_policy_npz format) here")
+    p.add_argument("--task_kv", action="append", default=[], metavar="K=V",
+                   help="override a task-config attribute (value parsed as "
+                        "a Python literal; plain strings pass through), "
+                        "e.g. --task_kv radar_invalid_anneal_env_steps="
+                        "150000000 — repeatable")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args()
@@ -1023,6 +1028,19 @@ def main():
         task_config = dataclasses.replace(
             task_config, vae_params_path=args.vae_params,
             torch_vae_path=args.torch_vae)
+    if args.task_kv:
+        import ast
+        if task_config is None:
+            task_config = ag.task_registry.get_task_config(args.task)
+        for kv in args.task_kv:
+            k, _, v = kv.partition("=")
+            if not hasattr(task_config, k):
+                p.error(f"--task_kv: task config has no attribute {k!r}")
+            try:
+                val = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                val = v   # plain string (e.g. a robot name)
+            setattr(task_config, k, val)
     task = ag.task_registry.make_task(args.task, num_envs=args.num_envs,
                                       seed=args.seed, task_config=task_config)
     cfg = PPOConfig(num_envs=args.num_envs, horizon=args.horizon,

@@ -70,6 +70,16 @@ class LidarNavigationTaskConfig:
     max_yawrate: float = np.pi / 3.0
     success_distance: float = 1.0
     radar_mode: bool = False          # radar task: sparse invalid returns
+    # reference parity: 80% of downsampled radar returns invalidated per
+    # frame (radar_navigation_task.py:16-19). The anneal fields are a
+    # TRAINING aid only: with anneal_env_steps > 0 the invalid fraction
+    # ramps start -> parity over that many env steps, so the recurrent
+    # policy first learns the cone geometry on dense returns and then
+    # adapts to sparsity; the task always ENDS (and evals, where anneal
+    # defaults to 0) at the parity 0.8 observation distribution.
+    radar_invalid_prob: float = 0.8
+    radar_invalid_prob_start: float = 0.2
+    radar_invalid_anneal_env_steps: int = 0
     curriculum: CurriculumConfig = field(default_factory=lambda: CurriculumConfig(
         min_level=25, max_level=70, check_after_log_instances=2048,
         increase_step=2, decrease_step=1,
@@ -119,6 +129,7 @@ class LidarNavState:
     prev_action: jax.Array           # (N, 4) transformed
     lidar_obs: jax.Array             # (N, 320) inverse-range
     ttc: jax.Array                   # (N,) time to collision
+    env_steps: jax.Array             # scalar f32: cumulative env steps
     key: jax.Array
     curriculum_level: jax.Array      # scalar f32
     success_agg: jax.Array
@@ -142,11 +153,13 @@ def _epf(mag, exp, v):
 
 
 def process_pointcloud(cfg: LidarNavigationTaskConfig, robot_pos, linvel,
-                       pts, key):
+                       pts, key, invalid_prob=None):
     """World pointcloud -> (inverse-range 16x20 obs, time-to-collision).
 
     Mirrors process_image_observation + add_noise_to_downsampled_lidar_data
-    (lidar_navigation_task.py:286-365; radar variant :6-23)."""
+    (lidar_navigation_task.py:286-365; radar variant :6-23).
+    invalid_prob overrides cfg.radar_invalid_prob (may be traced — the
+    annealing curriculum feeds a step-dependent scalar)."""
     N = pts.shape[0]
     dirs = pts - robot_pos[:, None, None, :]
     rng_img = safe_norm(dirs, axis=-1)                 # (N, 48, 120)
@@ -171,7 +184,8 @@ def process_pointcloud(cfg: LidarNavigationTaskConfig, robot_pos, linvel,
         noise_mask = jax.random.bernoulli(k1, 0.03, ds.shape)
         ds = ds + noise_mask * jax.random.uniform(k2, ds.shape,
                                                   minval=0.2, maxval=10.0)
-        invalid = jax.random.bernoulli(k3, 0.8, ds.shape)
+        p_inv = cfg.radar_invalid_prob if invalid_prob is None else invalid_prob
+        invalid = jax.random.bernoulli(k3, p_inv, ds.shape)
         ds = jnp.where(invalid, -1.0, ds)
     else:
         # lidar: 3% additive noise, 2% max-range, 2% low-range in lower rows
@@ -312,7 +326,18 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
         obs2 = compute_robot_obs(sim.pos, sim.quat, sim.linvel, sim.angvel)
         # range-image consumer only: skip in-kernel segmentation work
         pts, _ = render_lidar(params, sim, noise_key=k_noise, want_seg=False)
-        lidar_obs, ttc = process_pointcloud(cfg, obs2.pos, obs2.linvel, pts, k_pc)
+        env_steps = ns.env_steps + float(ns.sim.pos.shape[0])
+        if cfg.radar_mode and cfg.radar_invalid_anneal_env_steps > 0:
+            frac = jnp.clip(
+                env_steps / float(cfg.radar_invalid_anneal_env_steps),
+                0.0, 1.0)
+            invalid_prob = (cfg.radar_invalid_prob_start
+                            + (cfg.radar_invalid_prob
+                               - cfg.radar_invalid_prob_start) * frac)
+        else:
+            invalid_prob = None
+        lidar_obs, ttc = process_pointcloud(cfg, obs2.pos, obs2.linvel, pts,
+                                            k_pc, invalid_prob)
 
         if cfg.return_state_before_reset:
             # reference lidar_navigation_task.py:386 True path: obs from
@@ -347,7 +372,8 @@ def make_lidar_nav_step(params: SimParams, cfg: LidarNavigationTaskConfig):
             pos_error_prev=pos_error_new,
             # reference zeroes robot_prev_actions on reset (reset_idx)
             prev_action=jnp.where(done.astype(bool)[:, None], 0.0, action),
-            lidar_obs=lidar_obs, ttc=ttc, key=key, curriculum_level=level,
+            lidar_obs=lidar_obs, ttc=ttc, env_steps=env_steps, key=key,
+            curriculum_level=level,
             success_agg=s_agg, crash_agg=c_agg, timeout_agg=t_agg)
         infos = {"successes": successes, "timeouts": timeouts,
                  "crashes": crashes, "curriculum_level": level}
@@ -410,6 +436,7 @@ class LiDARNavigationTask:
             prev_action=jnp.zeros((self.num_envs, 4), jnp.float32),
             lidar_obs=jnp.zeros((self.num_envs, D), jnp.float32),
             ttc=jnp.full((self.num_envs,), 10.0, jnp.float32),
+            env_steps=jnp.zeros((), jnp.float32),
             key=key,
             curriculum_level=jnp.full((), float(cfg.curriculum.min_level),
                                       jnp.float32),

@@ -64,6 +64,35 @@ def test_radar_mode_sparsity():
     assert 0.7 < frac_invalid < 0.9       # ~80% invalid returns
 
 
+def test_radar_invalid_prob_override_and_anneal():
+    """process_pointcloud honors a traced invalid_prob override, and the
+    radar task's anneal config ramps the in-step invalid fraction from
+    start to the parity 0.8 (training aid; eval defaults stay at parity —
+    VERDICT r4 radar item)."""
+    cfg = LidarNavigationTaskConfig()
+    cfg.radar_mode = True
+    N, H, W = 4, 48, 120
+    pts = jnp.broadcast_to(jnp.array([5.0, 0.0, 0.0]), (N, H, W, 3))
+    obs, _ = process_pointcloud(cfg, jnp.zeros((N, 3)), jnp.zeros((N, 3)),
+                                pts, jax.random.PRNGKey(2),
+                                invalid_prob=jnp.float32(0.1))
+    frac = float(jnp.mean((obs == -1.0).astype(jnp.float32)))
+    assert 0.03 < frac < 0.2              # ~10%, not the parity 80%
+
+    # end-to-end: anneal active -> early steps carry dense returns
+    t_cfg = ag.task_registry.get_task_config("radar_navigation_task")
+    t_cfg.radar_invalid_prob_start = 0.0
+    t_cfg.radar_invalid_anneal_env_steps = 10_000_000
+    t = ag.task_registry.make_task("radar_navigation_task", num_envs=2,
+                                   seed=5, task_config=t_cfg)
+    t.reset()
+    obs, *_ = t.step(jnp.zeros((2, 4), jnp.float32))
+    lid = np.asarray(obs["observations"])[:, 17:]
+    early_frac = float((lid == -1.0).mean())
+    assert early_frac < 0.1               # dense: anneal barely started
+    assert float(t.nav_state.env_steps) == 2.0
+
+
 @pytest.mark.parametrize("name", ["lidar_navigation_task",
                                   "radar_navigation_task"])
 def test_task_runs_and_obs_shape(name):
