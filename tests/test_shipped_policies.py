@@ -26,6 +26,9 @@ _DCE = os.path.join(_PKG, "..", "examples", "dce_rl_navigation",
 _POS_NPZ = os.path.join(_WEIGHTS, "position_policy.npz")
 _NAV_NPZ = os.path.join(_DCE, "navigation_policy.npz")
 _NAV_VAE = os.path.join(_DCE, "depth_vae.pkl")
+_RADAR_NPZ = os.path.join(_DCE, "radar_navigation_policy.npz")
+_VIT_NPZ = os.path.join(_DCE, "vit_navigation_policy.npz")
+_VIT_ENC = os.path.join(_DCE, "vit_depth_encoder.pkl")
 
 
 @pytest.mark.skipif(not os.path.exists(_POS_NPZ),
@@ -83,6 +86,69 @@ def test_shipped_navigation_policy_flies():
     task = ag.task_registry.make_task("navigation_task", num_envs=N,
                                       seed=99, task_config=cfg)
     policy = load_policy_npz(_NAV_NPZ, num_envs=N)
+    obs, *_ = task.reset()
+    succ = crash = timo = 0
+    for _ in range(300):
+        act = policy(np.asarray(obs["observations"]))
+        assert np.isfinite(act).all()
+        obs, r, term, trunc, info = task.step(jnp.asarray(act))
+        succ += int(np.asarray(info["successes"]).sum())
+        crash += int(np.asarray(info["crashes"]).sum())
+        timo += int(np.asarray(info["timeouts"]).sum())
+    total = max(succ + crash + timo, 1)
+    assert succ > 0, f"no successes in 300 steps (s{succ}/c{crash}/t{timo})"
+    assert succ / total > 0.3, f"success share {succ}/{total}"
+
+
+@pytest.mark.skipif(not os.path.exists(_RADAR_NPZ),
+                    reason="radar artifacts not trained yet "
+                           "(scripts/train_radar_r4.sh)")
+def test_shipped_radar_policy_flies():
+    """The committed recurrent radar policy (GRU archive) flies the
+    fake-radar task closed loop at the PARITY observation distribution
+    (80% invalid returns): finite actions, per-env hidden-state resets at
+    episode boundaries, and at least one goal reach (the task's eval
+    success is the hardest of the shipped set — see radar_eval.json for
+    the chip-eval number this artifact reproduced)."""
+    N = 8
+    task = ag.task_registry.make_task("radar_navigation_task", num_envs=N,
+                                      seed=99)
+    policy = load_policy_npz(_RADAR_NPZ, num_envs=N)
+    assert getattr(policy, "recurrent", False), \
+        "radar archive must carry the GRU core"
+    obs, *_ = task.reset()
+    succ = crash = timo = 0
+    for _ in range(450):
+        act = policy(np.asarray(obs["observations"]))
+        assert np.isfinite(act).all()
+        obs, r, term, trunc, info = task.step(jnp.asarray(act))
+        done = (np.asarray(term) > 0) | (np.asarray(trunc) > 0)
+        if done.any():
+            policy.reset(np.nonzero(done)[0])
+        succ += int(np.asarray(info["successes"]).sum())
+        crash += int(np.asarray(info["crashes"]).sum())
+        timo += int(np.asarray(info["timeouts"]).sum())
+    assert succ > 0, f"no successes (s{succ}/c{crash}/t{timo})"
+
+
+@pytest.mark.skipif(not (os.path.exists(_VIT_NPZ)
+                         and os.path.exists(_VIT_ENC)),
+                    reason="ViT navigation artifacts not trained yet "
+                           "(scripts/train_vit_nav_e2e.sh)")
+def test_shipped_vit_navigation_policy_flies():
+    """The committed ViT-encoder navigation policy (transformer perception
+    backbone, models/vit.py) flies the obstacle course closed loop — the
+    arch-tagged pickle must route the task to ViTImageEncoder."""
+    import dataclasses
+
+    N = 8
+    cfg = ag.task_registry.get_task_config("navigation_task")
+    cfg = dataclasses.replace(cfg, vae_params_path=_VIT_ENC)
+    task = ag.task_registry.make_task("navigation_task", num_envs=N,
+                                      seed=99, task_config=cfg)
+    from aerial_gym_simulator_tpu.models.vit import ViTImageEncoder
+    assert isinstance(task.vae, ViTImageEncoder)
+    policy = load_policy_npz(_VIT_NPZ, num_envs=N)
     obs, *_ = task.reset()
     succ = crash = timo = 0
     for _ in range(300):
