@@ -150,7 +150,8 @@ def main(argv=None):
             pickle.dump({"arch": "vit", "params": jax.device_get(vparams),
                          "patch": tuple(model.patch), "dim": model.dim,
                          "depth": model.depth,
-                         "num_heads": model.num_heads}, f)
+                         "num_heads": model.num_heads,
+                         "attn_impl": model.attn_impl}, f)
         else:
             pickle.dump(jax.device_get(vparams), f)
     logger.info(f"saved {args.arch} VAE params to {args.out}")

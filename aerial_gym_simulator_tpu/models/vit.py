@@ -212,6 +212,11 @@ class ViTImageEncoder:
         self.image_res = image_res
         self.input_hw = _vit_input_hw(image_res, patch)
         self.return_sampled_latent = return_sampled_latent
+        if attn_impl == "flash" and jax.default_backend() != "tpu":
+            # flash-trained checkpoints replay on CPU through the XLA
+            # attention (bit-compatible params; the Pallas kernel needs
+            # real TPU hardware)
+            attn_impl = "xla"
         self.model = DepthViT(latent_dim=latent_dim, out_hw=image_res,
                               patch=patch, dim=dim, depth=depth,
                               num_heads=num_heads, attn_impl=attn_impl)

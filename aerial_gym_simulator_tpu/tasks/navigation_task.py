@@ -354,8 +354,13 @@ class NavigationTask:
                     # plain conv-VAE pickles are the raw params tree
                     if isinstance(loaded, dict) and loaded.get("arch") == "vit":
                         arch, vae_params = "vit", loaded["params"]
+                        # attn_impl rides the tag too: a flash-trained
+                        # large encoder also INFERS through the fused
+                        # kernel (checkpoints are impl-interchangeable,
+                        # models/vit.py FusedAttention)
                         vit_kw = {k: loaded[k] for k in
-                                  ("patch", "dim", "depth", "num_heads")
+                                  ("patch", "dim", "depth", "num_heads",
+                                   "attn_impl")
                                   if k in loaded}
                     else:
                         vae_params = loaded
