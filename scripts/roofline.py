@@ -131,8 +131,14 @@ def analyze_nav_train(vae_params_path, num_envs=1024, iters=10):
     dt = (time.perf_counter() - t0) / iters
 
     steps = num_envs * cfg.horizon
+    extra = ""
+    if arch == "vit" and isinstance(loaded, dict):
+        extra = (f"_dim{loaded.get('dim', 128)}"
+                 f"_depth{loaded.get('depth', 4)}")
+        if loaded.get("attn_impl", "xla") != "xla":
+            extra += f"_{loaded['attn_impl']}"
     rec = {
-        "program": f"navigation_ppo_train_step_{arch}_encoder",
+        "program": f"navigation_ppo_train_step_{arch}_encoder{extra}",
         "num_envs": num_envs,
         "xla_flops_excl_pallas_render": flops,
         "xla_bytes_accessed": byts,
