@@ -88,9 +88,16 @@ class FusedAttention(nn.Module):
             axis=1)
         sm_scale = 1.0 / math.sqrt(hd)
         if self.impl == "flash":
-            o = fa.flash_attention(qt, kt, vt,
+            # this Mosaic backend rejects bf16 matmul operands inside the
+            # kernel ("Bad lhs type", measured on v5e via the AOT compile
+            # path) — run the kernel in f32 and cast back. The win is
+            # avoiding the (S, S) logits materialization in HBM, which
+            # f32 q/k/v does not give back.
+            o = fa.flash_attention(qt.astype(jnp.float32),
+                                   kt.astype(jnp.float32),
+                                   vt.astype(jnp.float32),
                                    segment_ids=fa.SegmentIds(seg, seg),
-                                   sm_scale=sm_scale)
+                                   sm_scale=sm_scale).astype(x.dtype)
         elif self.impl == "reference":
             o = fa.mha_reference(qt, kt, vt, None,
                                  segment_ids=fa.SegmentIds(seg, seg),
