@@ -31,7 +31,13 @@ import numpy as np  # noqa: E402
 
 
 def bench_config(tag, dim, depth, heads, batch, hw=(135, 240),
-                 patch=(9, 16), iters=20):
+                 patch=(9, 16), iters=20, impls=("xla", "flash"),
+                 extra=None):
+    """Time encoder fwd+bwd for each impl. impls=("flash",) runs a
+    flash-only probe — used where the xla impl's materialized (S, S)
+    logits OOM HBM (measured: dim-256/depth-8 at batch 1024 asks for
+    48.91G of the chip's 15.75G); `extra` merges literal fields into the
+    emitted record (e.g. the xla OOM annotation)."""
     from aerial_gym_simulator_tpu.models.vit import DepthViT
 
     key = jax.random.PRNGKey(0)
@@ -39,10 +45,11 @@ def bench_config(tag, dim, depth, heads, batch, hw=(135, 240),
 
     results = {}
     outs = {}
-    for impl in ("xla", "flash"):
+    params = None
+    for impl in impls:
         model = DepthViT(latent_dim=64, out_hw=hw, patch=patch, dim=dim,
                          depth=depth, num_heads=heads, attn_impl=impl)
-        if impl == "xla":
+        if params is None:
             params = model.init(key, x[:1], key)
         # bf16 compute like ViTImageEncoder / training
         cparams = jax.tree_util.tree_map(
@@ -72,21 +79,25 @@ def bench_config(tag, dim, depth, heads, batch, hw=(135, 240),
         outs[impl] = np.asarray(fwd(cparams), np.float32)
         assert np.isfinite(anchor)
 
-    # flash and xla must agree on the same checkpoint (bf16 tolerance:
-    # different softmax/accumulation orders)
-    diff = float(np.max(np.abs(outs["flash"] - outs["xla"])))
-    scale = float(np.max(np.abs(outs["xla"])) + 1e-6)
     rec = {
         "study": f"vit_attention_{tag}",
         "dim": dim, "depth": depth, "heads": heads, "batch": batch,
         "seq": (hw[0] // patch[0]) * (hw[1] // patch[1]),
-        "xla_ms": round(results["xla"] * 1e3, 3),
-        "flash_ms": round(results["flash"] * 1e3, 3),
-        "speedup": round(results["xla"] / results["flash"], 3),
-        "fwd_bwd_steps_per_s_flash": round(batch / results["flash"], 1),
-        "max_abs_diff": round(diff, 5),
-        "rel_diff": round(diff / scale, 5),
     }
+    for impl in impls:
+        rec[f"{impl}_ms"] = round(results[impl] * 1e3, 3)
+    if "flash" in impls:
+        rec["fwd_bwd_steps_per_s_flash"] = round(batch / results["flash"], 1)
+    if "xla" in impls and "flash" in impls:
+        # flash and xla must agree on the same checkpoint (bf16 tolerance:
+        # different softmax/accumulation orders)
+        diff = float(np.max(np.abs(outs["flash"] - outs["xla"])))
+        scale = float(np.max(np.abs(outs["xla"])) + 1e-6)
+        rec["speedup"] = round(results["xla"] / results["flash"], 3)
+        rec["max_abs_diff"] = round(diff, 5)
+        rec["rel_diff"] = round(diff / scale, 5)
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -99,14 +110,27 @@ def main():
     args = ap.parse_args()
 
     recs = []
-    # nav-user configs: the shipped small encoder, a mid config, and the
-    # round-3 large config that measured attention-HBM-bound
+    # nav-user configs: the shipped small encoder at the training batch,
+    # then the mid/large configs. At batch 1024 the xla impl's
+    # materialized (S, S) f32 logits OOM the 15.75G chip from dim 256 up
+    # (measured: 48.91G requested) — so the paired xla-vs-flash timing
+    # runs at batch 128, and a flash-ONLY probe runs the full
+    # training batch the xla impl cannot fit at all.
     recs.append(bench_config("small_dim128", dim=128, depth=4, heads=4,
                              batch=1024, iters=args.iters))
-    recs.append(bench_config("mid_dim256", dim=256, depth=8, heads=8,
-                             batch=1024, iters=args.iters))
-    recs.append(bench_config("large_dim512", dim=512, depth=12, heads=8,
-                             batch=1024, iters=args.iters))
+    recs.append(bench_config("mid_dim256_b128", dim=256, depth=8, heads=8,
+                             batch=128, iters=args.iters))
+    recs.append(bench_config("large_dim512_b128", dim=512, depth=12,
+                             heads=8, batch=128, iters=args.iters))
+    recs.append(bench_config(
+        "mid_dim256_b1024_flashonly", dim=256, depth=8, heads=8,
+        batch=1024, iters=args.iters, impls=("flash",),
+        extra={"xla_oom": True,
+               "xla_oom_hbm_requested_gb": 48.91, "hbm_gb": 15.75}))
+    recs.append(bench_config(
+        "large_dim512_b1024_flashonly", dim=512, depth=12, heads=8,
+        batch=1024, iters=args.iters, impls=("flash",),
+        extra={"xla_oom": True, "hbm_gb": 15.75}))
     if args.out:
         with open(args.out, "a") as f:
             for r in recs:
