@@ -133,6 +133,8 @@ class EnvManager:
         # global_tensor_dict["depth_range_pixels"] / "segmentation_pixels")
         self._sensor_frames = None
         self._sensor_seg = None
+        self._lidar_frames = None
+        self._lidar_seg = None
         self._rgb_frames = None
         self._jit_render = None
         self._jit_render_rgb = None
@@ -198,6 +200,15 @@ class EnvManager:
             obs["depth_range_pixels"] = self._sensor_frames
         if self._sensor_seg is not None:
             obs["segmentation_pixels"] = self._sensor_seg
+        if self._lidar_frames is not None:
+            # camera+lidar simultaneously enabled: the lidar scan rides its
+            # own keys (the reference FORBIDS this combination outright —
+            # robot_manager.py:185-187 asserts "Do not use both camera and
+            # lidar sensors together for now"; here both render in one
+            # fused program, see render())
+            obs["lidar_range_pixels"] = self._lidar_frames
+        if self._lidar_seg is not None:
+            obs["lidar_segmentation_pixels"] = self._lidar_seg
         if self._rgb_frames is not None:
             # reference robot_manager.py:160 (Isaac Gym native RGB camera)
             obs["rgb_pixels"] = self._rgb_frames
@@ -208,11 +219,18 @@ class EnvManager:
         return self.state.sim_steps
 
     def render(self, render_components: str = "sensors"):
-        """Capture the robot's exteroceptive sensor (reference
+        """Capture the robot's exteroceptive sensors (reference
         EnvManager.render('sensors') -> capture_sensors); the frames land in
         get_obs()["depth_range_pixels"] (+ "segmentation_pixels" when the
         sensor produces one). Configured sensor noise IS applied — a fresh
         capture key is drawn per call. No-op without a sensor.
+
+        A robot with camera AND lidar enabled captures BOTH in one jitted
+        program: the camera keeps the reference keys, the lidar lands in
+        "lidar_range_pixels" / "lidar_segmentation_pixels". The reference
+        cannot do this at all — robot_manager.py:185-187 asserts
+        `not (enable_camera and enable_lidar)` ("Do not use both camera
+        and lidar sensors together for now").
 
         render_components="rgb" additionally captures an onboard RGB image
         into get_obs()["rgb_pixels"] (reference global_tensor_dict key from
@@ -239,14 +257,32 @@ class EnvManager:
             self._rgb_frames = None
         if self._jit_render is None:
             from ..sensors.raycast_sensor import render_camera, render_lidar
-            fn = render_camera if self.params.camera is not None else render_lidar
             params = self.params
-            self._jit_render = jax.jit(lambda s, k: fn(params, s, noise_key=k))
+            if params.camera is not None and params.lidar is not None:
+                # both sensors in ONE fused program (one dispatch, shared
+                # world-space primitive packing under XLA CSE)
+                def fn(s, k):
+                    k_cam, k_lid = jax.random.split(k)
+                    return (render_camera(params, s, noise_key=k_cam)
+                            + render_lidar(params, s, noise_key=k_lid))
+            elif params.camera is not None:
+                def fn(s, k):
+                    return render_camera(params, s, noise_key=k) + (None, None)
+            else:
+                def fn(s, k):
+                    return (None, None) + render_lidar(params, s, noise_key=k)
+            self._jit_render = jax.jit(fn)
         if self._render_key is None:   # may already be set by load_state()
             self._render_key = jax.random.PRNGKey(
                 self._py_rng.getrandbits(31))
         self._render_key, k = jax.random.split(self._render_key)
-        self._sensor_frames, self._sensor_seg = self._jit_render(self.state, k)
+        cam_px, cam_seg, lid_px, lid_seg = self._jit_render(self.state, k)
+        if self.params.camera is not None:
+            self._sensor_frames, self._sensor_seg = cam_px, cam_seg
+            self._lidar_frames, self._lidar_seg = lid_px, lid_seg
+        else:
+            # lidar-only robots keep the reference's single-sensor keys
+            self._sensor_frames, self._sensor_seg = lid_px, lid_seg
         return self._sensor_frames
 
     def delete_env(self):
@@ -307,6 +343,8 @@ class EnvManager:
             self._render_key = None
         self._sensor_frames = None
         self._sensor_seg = None
+        self._lidar_frames = None
+        self._lidar_seg = None
         self._rgb_frames = None
         logger.info(f"sim state loaded from {path}")
 

@@ -157,7 +157,12 @@ def import_sample_factory_policy(pth_path: str, npz_path: str) -> str:
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # sign-split stable form: exp only ever sees non-positive arguments, so
+    # large-|x| inputs saturate without the overflow RuntimeWarning the
+    # naive 1/(1+exp(-x)) emits (same safe-math rule as utils.math
+    # safe_sqrt/safe_norm, applied to the deployment path)
+    e = np.exp(-np.abs(x))
+    return np.where(x >= 0, 1.0 / (1.0 + e), e / (1.0 + e))
 
 
 class NumpyRecurrentPolicy:
