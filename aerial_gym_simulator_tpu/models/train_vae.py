@@ -61,9 +61,13 @@ def main(argv=None):
                         "tags, so any size deploys unchanged)")
     p.add_argument("--vit_depth", type=int, default=4)
     p.add_argument("--vit_heads", type=int, default=4)
-    p.add_argument("--vit_attn", choices=["xla", "flash"], default="xla",
-                   help="attention implementation (--arch vit): 'flash' "
-                        "routes through the Pallas TPU flash-attention "
+    p.add_argument("--vit_attn", choices=["xla", "fused", "flash"],
+                   default="xla",
+                   help="attention implementation (--arch vit): 'fused' "
+                        "routes through the in-repo short-seq Pallas "
+                        "kernel (ops/attention_pallas.py — the fast and "
+                        "memory-lean choice at ViT sequence lengths); "
+                        "'flash' routes through jax's flash-attention "
                         "kernel — same checkpoint format, large dims "
                         "train attention-HBM-unbound (scripts/"
                         "vit_attention_bench.py has the measurements)")

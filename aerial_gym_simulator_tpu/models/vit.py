@@ -49,16 +49,26 @@ class FusedAttention(nn.Module):
     either path load on the other, and vit_tp_shardings' head-sharded TP
     map applies unchanged.
 
-    impl: 'flash'     — the Pallas kernel (TPU only);
-          'reference' — the kernel's own mha_reference (CPU-runnable
+    impl: 'fused'     — the in-repo short-seq kernel
+                        (ops/attention_pallas.py): packed (B, S, D) HBM
+                        layout, head split in VMEM, whole-(S,S) softmax
+                        on-chip, bf16 MXU operands, recompute-in-backward.
+                        The round-5 default for training — jax's flash
+                        kernel measured 3-4x slower than XLA at S=225 AND
+                        OOMed at batch 1024 from its (B, H, S, 32) f32
+                        layout (ROOFLINE.jsonl vit_attention_* r5);
+          'flash'     — jax's Pallas flash-attention kernel (TPU only),
+                        kept for comparison benchmarks;
+          'reference' — that kernel's own mha_reference (CPU-runnable
                         oracle with identical padding/segment handling;
                         tests/test_vit.py proves it matches flax MHA).
-    Sequences pad to the kernel's 128 block size; padding tokens carry a
-    different segment id, so real tokens never attend to them.
+    Sequences pad to the kernel block size; padding keys are masked (via
+    segment ids for 'flash'/'reference', in-kernel for 'fused'), so real
+    tokens never attend to them.
     """
     dim: int
     num_heads: int
-    impl: str = "flash"
+    impl: str = "fused"
 
     @nn.compact
     def __call__(self, x):
@@ -72,6 +82,17 @@ class FusedAttention(nn.Module):
         q = dense(name="query")(x)                       # (B, S, H, hd)
         k = dense(name="key")(x)
         v = dense(name="value")(x)
+        if self.impl == "fused":
+            from ..ops.attention_pallas import fused_attention
+            # free reshape to the packed layout the kernel wants; the
+            # DenseGeneral param tree stays bit-compatible with flax MHA
+            o = fused_attention(q.reshape(B, S, H * hd),
+                                k.reshape(B, S, H * hd),
+                                v.reshape(B, S, H * hd), H,
+                                sm_scale=1.0 / math.sqrt(hd))
+            o = o.reshape(B, S, H, hd)
+            return nn.DenseGeneral(features=D, axis=(-2, -1), dtype=x.dtype,
+                                   name="out")(o)
         qt = jnp.transpose(q, (0, 2, 1, 3))              # (B, H, S, hd)
         kt = jnp.transpose(k, (0, 2, 1, 3))
         vt = jnp.transpose(v, (0, 2, 1, 3))
@@ -113,7 +134,7 @@ class TransformerBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: int = 4
-    attn_impl: str = "xla"   # 'xla' | 'flash' | 'reference'
+    attn_impl: str = "xla"   # 'xla' | 'fused' | 'flash' | 'reference'
 
     @nn.compact
     def __call__(self, x):
@@ -219,10 +240,10 @@ class ViTImageEncoder:
         self.image_res = image_res
         self.input_hw = _vit_input_hw(image_res, patch)
         self.return_sampled_latent = return_sampled_latent
-        if attn_impl == "flash" and jax.default_backend() != "tpu":
-            # flash-trained checkpoints replay on CPU through the XLA
-            # attention (bit-compatible params; the Pallas kernel needs
-            # real TPU hardware)
+        if attn_impl in ("flash", "fused") and jax.default_backend() != "tpu":
+            # kernel-trained checkpoints replay on CPU through the XLA
+            # attention (bit-compatible params; the Pallas kernels need
+            # real TPU hardware — interpret mode is for tests only)
             attn_impl = "xla"
         self.model = DepthViT(latent_dim=latent_dim, out_hw=image_res,
                               patch=patch, dim=dim, depth=depth,
