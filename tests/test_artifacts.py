@@ -53,3 +53,50 @@ def test_json_artifact_nonempty_and_parses(name):
     raw = path.read_text()
     assert raw.strip(), f"{name} is empty — committed evidence was truncated"
     json.loads(raw)
+
+
+# ---------------------------------------------------------------------------
+# citation integrity: every ROOFLINE.jsonl study name cited in the docs must
+# exist as a committed line. Round-4 regression (VERDICT r4 Weak #1):
+# PARITY.md/PERF.md cited `ROOFLINE.jsonl vit_attention_*` but the bench
+# output was never committed — the artifact parsed fine, the CONTENT the
+# docs pointed at did not exist. This closes that loop one level up from
+# the truncation guard above.
+# ---------------------------------------------------------------------------
+
+_CITING_DOCS = ["PARITY.md", "PERF.md", "README.md", "CLAUDE.md"]
+# a study-like token right after a ROOFLINE.jsonl mention (optionally
+# wrapped in backticks/parens, possibly across a line break); study names
+# always contain an underscore, which filters prose words like "unless"
+_CITE_RE = __import__("re").compile(
+    r"ROOFLINE\.jsonl[`)\s]*[`(]?\s*([a-z0-9_]*_[a-z0-9_]*\*?)")
+
+
+def _committed_roofline_studies():
+    names = set()
+    for ln in (REPO / "ROOFLINE.jsonl").read_text().splitlines():
+        if not ln.strip():
+            continue
+        obj = json.loads(ln)
+        for field in ("study", "program"):
+            if field in obj:
+                names.add(obj[field])
+    return names
+
+
+def test_roofline_citations_resolve():
+    studies = _committed_roofline_studies()
+    assert studies, "ROOFLINE.jsonl carries no study/program lines"
+    unresolved = []
+    for doc in _CITING_DOCS:
+        text = " ".join((REPO / doc).read_text().split())
+        for cite in _CITE_RE.findall(text):
+            if cite.endswith("*"):
+                ok = any(s.startswith(cite[:-1]) for s in studies)
+            else:
+                ok = cite in studies
+            if not ok:
+                unresolved.append(f"{doc}: ROOFLINE.jsonl {cite}")
+    assert not unresolved, (
+        "doc citations point at ROOFLINE.jsonl content that is not "
+        "committed: " + "; ".join(unresolved))
