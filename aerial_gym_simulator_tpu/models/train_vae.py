@@ -68,9 +68,10 @@ def main(argv=None):
                         "kernel (ops/attention_pallas.py — the fast and "
                         "memory-lean choice at ViT sequence lengths); "
                         "'flash' routes through jax's flash-attention "
-                        "kernel — same checkpoint format, large dims "
-                        "train attention-HBM-unbound (scripts/"
-                        "vit_attention_bench.py has the measurements)")
+                        "kernel (same checkpoint format; measured slower "
+                        "than both at seq 225 AND OOMs at the training "
+                        "batch — kept for benchmarking, see scripts/"
+                        "vit_attention_bench.py)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)

@@ -100,19 +100,28 @@ def run_dryrun(n_devices: int) -> None:
             "lidar navigation full-sensor step did not cross the process "
             "boundary")
 
-        # --- phase 4: scaling-efficiency harness rehearsal (BASELINE
-        # ">=80% at N>=2 hosts"): the same sharded train step timed at 1
-        # and 2 processes with identical per-device work. The printed
-        # efficiency on shared-core CPU measures host contention, not
-        # collective overhead — the line exists to certify the pod
-        # measurement tool runs end-to-end (parallel/scaling.py docstring).
-        from .scaling import run_rehearsal
+        # --- phase 4: scaling harness rehearsal (BASELINE ">=80% at N>=2
+        # hosts"). Round-5 form (VERDICT r4 #6): weak-scaling "efficiency"
+        # on a shared-core host measures only core contention, so rehearse
+        # the STRONG-scaling mode this host CAN validate — the same total
+        # workload through 1 vs 2 processes, throughput ratio as a sanity
+        # signal only — and certify the pod layout via dry_topology.
+        from .scaling import dry_topology, run_strong_rehearsal
 
-        reh = run_rehearsal(num_processes=2, local_devices=2,
-                            envs_per_device=16, horizon=8, timed_iters=5)
-        print(f"dryrun_multichip OK (scaling harness rehearsal): "
-              f"single {reh['single_process']['steps_per_s']:.0f} sps, "
-              f"2-process {reh['multi_process']['steps_per_s']:.0f} sps, "
-              f"efficiency {reh['efficiency']:.2f} "
-              f"(cpu-gloo rehearsal on {reh['host_cpu_count']} cores — "
-              f"not a perf claim)")
+        reh = run_strong_rehearsal(num_processes=2, local_devices=2,
+                                   total_envs=64, horizon=8, timed_iters=5)
+        assert reh["throughput_ratio"] > 0.05, (
+            "2-process leg implausibly slow vs single-process on the same "
+            f"workload: ratio {reh['throughput_ratio']}")
+        topo = dry_topology(num_hosts=2, chips_per_host=4,
+                            num_envs=reh["total_envs"] * 64)
+        assert topo["envs_per_device"] * 8 == topo["num_envs"]
+        print(f"dryrun_multichip OK (scaling harness, strong-mode "
+              f"rehearsal): single {reh['single_process']['steps_per_s']:.0f}"
+              f" sps, 2-process {reh['multi_process']['steps_per_s']:.0f} "
+              f"sps on the SAME {reh['total_envs']}-env workload, ratio "
+              f"{reh['throughput_ratio']:.2f} (cpu-gloo on "
+              f"{reh['host_cpu_count']} cores — sanity signal, not an "
+              f"efficiency claim); pod layout: {topo['mesh_shape']} mesh "
+              f"over {topo['num_hosts']}x{topo['chips_per_host']} chips, "
+              f"{topo['envs_per_device']} envs/device")

@@ -19,7 +19,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from aerial_gym_simulator_tpu.parallel.scaling import run_rehearsal  # noqa: E402
+from aerial_gym_simulator_tpu.parallel.scaling import (  # noqa: E402
+    run_rehearsal, run_strong_rehearsal)
 
 
 def main():
@@ -30,11 +31,26 @@ def main():
     ap.add_argument("--envs_per_device", type=int, default=64)
     ap.add_argument("--horizon", type=int, default=16)
     ap.add_argument("--timed_iters", type=int, default=20)
+    ap.add_argument("--strong", action="store_true",
+                    help="strong scaling: same total envs both legs — the "
+                         "mode a shared-core host can sanity-check "
+                         "(weak-scaling efficiency there measures only "
+                         "core contention)")
+    ap.add_argument("--total_envs", type=int, default=128,
+                    help="global workload for --strong")
     args = ap.parse_args()
-    run_rehearsal(num_processes=args.processes,
-                  local_devices=args.local_devices, task_name=args.task,
-                  envs_per_device=args.envs_per_device, horizon=args.horizon,
-                  timed_iters=args.timed_iters)
+    if args.strong:
+        run_strong_rehearsal(num_processes=args.processes,
+                             local_devices=args.local_devices,
+                             task_name=args.task,
+                             total_envs=args.total_envs,
+                             horizon=args.horizon,
+                             timed_iters=args.timed_iters)
+    else:
+        run_rehearsal(num_processes=args.processes,
+                      local_devices=args.local_devices, task_name=args.task,
+                      envs_per_device=args.envs_per_device,
+                      horizon=args.horizon, timed_iters=args.timed_iters)
 
 
 if __name__ == "__main__":
