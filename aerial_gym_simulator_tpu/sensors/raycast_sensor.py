@@ -125,6 +125,7 @@ def build_ray_sensor_params(cfg) -> RaySensorParams:
         enable_noise=noise.enable_sensor_noise,
         randomize_placement=cfg.randomize_placement,
         stereo_baseline=float(getattr(cfg, "stereo_baseline", 0.0)),
+        num_sensors=int(getattr(cfg, "num_sensors", 1)),
     )
 
 
@@ -134,18 +135,38 @@ def build_ray_sensor_params(cfg) -> RaySensorParams:
 
 
 def sample_mount_pose(sp: RaySensorParams, subkeys):
-    """Per-env local mount pose (reference warp_sensor.py:92-127)."""
+    """Per-env local mount pose (reference warp_sensor.py:92-127).
+
+    num_sensors > 1: one independently randomized mount per sensor copy
+    (reference warp_sensor.py:112-127 randomizes per (env, sensor));
+    returns (N, S, 3)/(N, S, 4). S == 1 keeps the historical (N, 3)/(N, 4).
+    """
     N = subkeys.shape[0]
-    if sp.randomize_placement:
-        k_t = jax.vmap(jax.random.fold_in)(subkeys, jnp.zeros((N,), jnp.uint32))
-        k_r = jax.vmap(jax.random.fold_in)(subkeys, jnp.ones((N,), jnp.uint32))
-        pos = rnglib.env_uniform(k_t, sp.min_translation, sp.max_translation, (3,))
-        eul = rnglib.env_uniform(k_r, sp.min_rotation, sp.max_rotation, (3,))
-    else:
-        pos = jnp.broadcast_to(sp.nominal_position, (N, 3))
-        eul = jnp.broadcast_to(sp.nominal_rotation, (N, 3))
-    quat = quat_from_euler_xyz(eul[..., 0], eul[..., 1], eul[..., 2])
-    return pos, quat
+    S = sp.num_sensors
+
+    def one(sensor_idx):
+        if sp.randomize_placement:
+            base = 2 * sensor_idx
+            k_t = jax.vmap(jax.random.fold_in)(
+                subkeys, jnp.full((N,), base, jnp.uint32))
+            k_r = jax.vmap(jax.random.fold_in)(
+                subkeys, jnp.full((N,), base + 1, jnp.uint32))
+            pos = rnglib.env_uniform(k_t, sp.min_translation,
+                                     sp.max_translation, (3,))
+            eul = rnglib.env_uniform(k_r, sp.min_rotation,
+                                     sp.max_rotation, (3,))
+        else:
+            pos = jnp.broadcast_to(sp.nominal_position, (N, 3))
+            eul = jnp.broadcast_to(sp.nominal_rotation, (N, 3))
+        quat = quat_from_euler_xyz(eul[..., 0], eul[..., 1], eul[..., 2])
+        # fresh materialization: these land in the donated state pytree,
+        # and broadcast views would trip the double-donation check
+        return jnp.asarray(pos) + 0.0, jnp.asarray(quat) + 0.0
+
+    if S == 1:
+        return one(0)
+    poses, quats = zip(*(one(s) for s in range(S)))
+    return jnp.stack(poses, axis=1), jnp.stack(quats, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -195,7 +216,23 @@ def render(params: SimParams, state: SimState, sp: RaySensorParams,
     want_seg: tri-state override — None follows sp.segmentation_camera;
     False lets depth-only consumers (the fused navigation step reads depth
     only) skip the in-kernel segmentation work entirely.
+
+    num_sensors > 1 (mount_pos (N, S, 3)): captures every sensor copy and
+    stacks on axis 1 — (N, S, H, W[, 3]) like the reference's kernels
+    (warp_cam.py:74 launches over (num_envs, num_sensors, W, H)). One
+    fused program: XLA CSEs the shared world-space primitive packing
+    across the S kernel calls.
     """
+    if mount_pos.ndim == 3:
+        S = mount_pos.shape[1]
+        keys = (jax.random.split(noise_key, S)
+                if noise_key is not None else [None] * S)
+        px, sg = zip(*(render(params, state, sp, mount_pos[:, s],
+                              mount_quat[:, s], noise_key=keys[s],
+                              want_seg=want_seg)
+                       for s in range(S)))
+        return (jnp.stack(px, axis=1),
+                jnp.stack(sg, axis=1) if sg[0] is not None else None)
     N = state.pos.shape[0]
     H, W = sp.height, sp.width
     R = H * W
@@ -314,8 +351,14 @@ def render_normal_faceid(params: SimParams, state: SimState,
     selected by the winning-primitive min-reduction); the pure-JAX oracle
     (raycast_batched_normals) is the CPU fallback and correctness anchor.
 
-    Returns (depth (N,H,W), normals (N,H,W,3), face_id (N,H,W), seg (N,H,W)).
+    Returns (depth (N,H,W), normals (N,H,W,3), face_id (N,H,W), seg (N,H,W));
+    with num_sensors > 1 every output gains the sensor axis at position 1.
     """
+    if mount_pos.ndim == 3:
+        outs = [render_normal_faceid(params, state, sp, mount_pos[:, s],
+                                     mount_quat[:, s])
+                for s in range(mount_pos.shape[1])]
+        return tuple(jnp.stack(parts, axis=1) for parts in zip(*outs))
     N = state.pos.shape[0]
     H, W = sp.height, sp.width
     R = H * W
@@ -419,8 +462,14 @@ def render_rgb(params: SimParams, state: SimState, sp: RaySensorParams,
     shade_rgb) is the CPU fallback and the correctness anchor
     (tests/test_raycast_pallas.py rgb differential).
 
-    Returns (rgb (N,H,W,3) f32 in [0,1], depth (N,H,W), seg (N,H,W)).
+    Returns (rgb (N,H,W,3) f32 in [0,1], depth (N,H,W), seg (N,H,W));
+    with num_sensors > 1 every output gains the sensor axis at position 1.
     """
+    if mount_pos.ndim == 3:
+        outs = [render_rgb(params, state, sp, mount_pos[:, s],
+                           mount_quat[:, s])
+                for s in range(mount_pos.shape[1])]
+        return tuple(jnp.stack(parts, axis=1) for parts in zip(*outs))
     sc = params.scene
     if (jax.default_backend() == "tpu" and sc is not None
             and sc.num_env_prims > 0):

@@ -426,20 +426,26 @@ def reset_envs(params: SimParams, state: SimState, mask: jax.Array) -> SimState:
     # env_manager.reset_idx -> sensor reset, warp_sensor.py:129-171)
     mb = mask.astype(bool)
     N = mask.shape[0]
+    # mask broadcast matches either mount rank: (N, 3) single-sensor or
+    # (N, S, 3) when num_sensors > 1
+    _mmask = lambda x: mb.reshape((N,) + (1,) * (x.ndim - 1))
     if params.camera is not None:
         from ..sensors.raycast_sensor import sample_mount_pose
         kc = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 10, jnp.uint32))
         mpos, mquat = sample_mount_pose(params.camera, kc)
         state = state.replace(
-            cam_mount_pos=jnp.where(mb[:, None], mpos, state.cam_mount_pos),
-            cam_mount_quat=jnp.where(mb[:, None], mquat, state.cam_mount_quat))
+            cam_mount_pos=jnp.where(_mmask(mpos), mpos, state.cam_mount_pos),
+            cam_mount_quat=jnp.where(_mmask(mquat), mquat,
+                                     state.cam_mount_quat))
     if params.lidar is not None:
         from ..sensors.raycast_sensor import sample_mount_pose
         kl = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 11, jnp.uint32))
         mpos, mquat = sample_mount_pose(params.lidar, kl)
         state = state.replace(
-            lidar_mount_pos=jnp.where(mb[:, None], mpos, state.lidar_mount_pos),
-            lidar_mount_quat=jnp.where(mb[:, None], mquat, state.lidar_mount_quat))
+            lidar_mount_pos=jnp.where(_mmask(mpos), mpos,
+                                      state.lidar_mount_pos),
+            lidar_mount_quat=jnp.where(_mmask(mquat), mquat,
+                                       state.lidar_mount_quat))
     if params.imu is not None:
         from ..sensors.imu import sample_imu_reset
         ki = jax.vmap(jax.random.fold_in)(k_extra, jnp.full((N,), 12, jnp.uint32))

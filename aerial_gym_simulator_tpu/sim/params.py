@@ -283,6 +283,19 @@ def build_sim_params(sim_cfg: SimConfig, env_cfg: EnvConfig,
     )
 
 
+def _mount_z(N: int, sp) -> jnp.ndarray:
+    S = sp.num_sensors if sp is not None else 1
+    return (jnp.zeros((N, 3), jnp.float32) if S == 1
+            else jnp.zeros((N, S, 3), jnp.float32))
+
+
+def _mount_q(N: int, sp) -> jnp.ndarray:
+    S = sp.num_sensors if sp is not None else 1
+    unit = jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32)
+    return (jnp.tile(unit, (N, 1)) if S == 1
+            else jnp.tile(unit, (N, S, 1)))
+
+
 def initial_state(params: SimParams, seed: int = 0) -> SimState:
     """Allocate the full per-env state pytree (pre-reset zeros + keys)."""
     N = params.env.num_envs
@@ -318,10 +331,13 @@ def initial_state(params: SimParams, seed: int = 0) -> SimState:
         obstacle_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, A, 1)),
         obstacle_linvel=z(N, A, 3),
         obstacle_angvel=z(N, A, 3),
-        cam_mount_pos=z(N, 3),
-        cam_mount_quat=quat0(),
-        lidar_mount_pos=z(N, 3),
-        lidar_mount_quat=quat0(),
+        # num_sensors == 1 keeps the historical (N, 3)/(N, 4) shapes
+        # (checkpoint compatibility); S > 1 carries one mount per sensor
+        # copy, (N, S, 3)/(N, S, 4) (reference warp_sensor.py:112-118)
+        cam_mount_pos=_mount_z(N, params.camera),
+        cam_mount_quat=_mount_q(N, params.camera),
+        lidar_mount_pos=_mount_z(N, params.lidar),
+        lidar_mount_quat=_mount_q(N, params.lidar),
         imu_accel_bias=z(N, 3),
         imu_gyro_bias=z(N, 3),
         imu_mount_quat=quat0(),

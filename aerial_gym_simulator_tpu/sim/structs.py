@@ -221,6 +221,11 @@ class RaySensorParams:
     enable_noise: bool = struct.field(pytree_node=False, default=False)
     randomize_placement: bool = struct.field(pytree_node=False, default=True)
     stereo_baseline: float = struct.field(pytree_node=False, default=0.0)
+    # >1: S independently-mounted copies of this sensor per robot
+    # (reference base_sensor_config.py:5 num_sensors; its kernels launch
+    # over (num_envs, num_sensors, H, W), warp_cam.py:74) — mount state
+    # becomes (N, S, 3)/(N, S, 4) and captures stack to (N, S, H, W)
+    num_sensors: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
@@ -327,10 +332,10 @@ class SimState:
     obstacle_linvel: jax.Array           # (N, A, 3)
     obstacle_angvel: jax.Array           # (N, A, 3)
     # sensor mount poses (randomized at reset; zeros when sensor disabled)
-    cam_mount_pos: jax.Array             # (N, 3)
-    cam_mount_quat: jax.Array            # (N, 4)
-    lidar_mount_pos: jax.Array           # (N, 3)
-    lidar_mount_quat: jax.Array          # (N, 4)
+    cam_mount_pos: jax.Array             # (N, 3); (N, S, 3) if num_sensors>1
+    cam_mount_quat: jax.Array            # (N, 4); (N, S, 4) if num_sensors>1
+    lidar_mount_pos: jax.Array           # (N, 3); (N, S, 3) if num_sensors>1
+    lidar_mount_quat: jax.Array          # (N, 4); (N, S, 4) if num_sensors>1
     # IMU bias random-walk state + perturbed mount orientation
     imu_accel_bias: jax.Array            # (N, 3)
     imu_gyro_bias: jax.Array             # (N, 3)

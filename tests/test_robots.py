@@ -296,6 +296,78 @@ def test_env_manager_renders_camera_and_lidar_simultaneously():
     assert (lid < env.params.lidar.max_range).any()
 
 
+def test_num_sensors_axis_two_cameras_one_robot():
+    """num_sensors=2 on one camera config: EnvManager captures
+    (N, 2, H, W) like the reference's (num_envs, num_sensors, H, W)
+    kernels (warp_cam.py:74, robot_manager.py:210), each sensor copy with
+    its OWN randomized mount; with randomization off, each sensor slice
+    matches the single-sensor render bit-for-bit."""
+    from aerial_gym_simulator_tpu.config.robot_config.catalog import base_quadrotor
+    from aerial_gym_simulator_tpu.config.sensor_config.sensor_configs import (
+        BaseDepthCameraConfig)
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import render_camera
+
+    def robot_fn():
+        cfg = base_quadrotor()
+        cfg.name = "twin_camera_quad"
+        cfg.sensor_config.enable_camera = True
+        cam_cfg = BaseDepthCameraConfig()
+        cam_cfg.num_sensors = 2
+        cam_cfg.randomize_placement = False
+        cam_cfg.sensor_noise.enable_sensor_noise = False
+        cfg.sensor_config.camera_config = cam_cfg
+        return cfg
+
+    try:
+        robot_registry.register("twin_camera_quad", robot_fn)
+    except Exception:
+        pass
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "twin_camera_quad", "lee_velocity_control",
+                                 num_envs=2, seed=5)
+    env.reset()
+    env.step(jnp.zeros((2, env.params.controller.num_actions)))
+    assert env.state.cam_mount_pos.shape == (2, 2, 3)
+    assert env.state.cam_mount_quat.shape == (2, 2, 4)
+    frames = env.render()
+    H, W = env.params.camera.height, env.params.camera.width
+    assert frames.shape == (2, 2, H, W)
+    assert np.isfinite(np.asarray(frames)).all()
+    # nominal (non-randomized) mounts: both copies see the same image, and
+    # each equals a direct single-sensor render at that mount
+    per_sensor, _ = render_camera(env.params, env.state)
+    # tolerance, not bit-equality, vs the standalone compile (f32 fusion
+    # ordering differs between programs; measured residual 3.5e-05)
+    np.testing.assert_allclose(np.asarray(frames), np.asarray(per_sensor),
+                               rtol=1e-4, atol=1e-4)
+    # within ONE program the two nominal-mounted copies are bit-identical
+    np.testing.assert_array_equal(np.asarray(frames[:, 0]),
+                                  np.asarray(frames[:, 1]))
+
+    # randomized mounts: after reset the two copies carry DIFFERENT poses
+    # and (generically) different images
+    def robot_fn_rand():
+        cfg = robot_fn()
+        cfg.name = "twin_camera_quad_rand"
+        cfg.sensor_config.camera_config.randomize_placement = True
+        return cfg
+
+    try:
+        robot_registry.register("twin_camera_quad_rand", robot_fn_rand)
+    except Exception:
+        pass
+    env2 = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                  "twin_camera_quad_rand",
+                                  "lee_velocity_control", num_envs=2, seed=5)
+    env2.reset()
+    mounts = np.asarray(env2.state.cam_mount_pos)
+    assert not np.allclose(mounts[:, 0], mounts[:, 1]), \
+        "per-sensor mount randomization produced identical poses"
+    f2 = np.asarray(env2.render())
+    assert f2.shape == (2, 2, H, W)
+    assert not np.array_equal(f2[:, 0], f2[:, 1])
+
+
 def test_robot_manager_dof_target_handle():
     """EnvManager.robot_manager.robot.set_dof_velocity_targets drives the
     joints through plain env.step (reference attribute chain used by
