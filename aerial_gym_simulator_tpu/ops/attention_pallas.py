@@ -58,6 +58,17 @@ _NEG_BIG = -1e30  # finite "minus infinity": keeps padded softmax rows
 #                   (a true -inf row maxes to -inf and births NaNs that
 #                   0 * NaN would then propagate into dV)
 
+# Mosaic on the tunneled v5e backend rejects bf16 matmul operands
+# outright — AOT compile fails with 'Bad lhs type' on
+#   tpu.matmul(vector<256x128xbf16>, vector<128x128xbf16>) -> f32
+# (pinned r5; same root cause as the r4 finding in jax's flash kernel).
+# The cast happens HERE, on the VMEM tile, so HBM traffic stays bf16 —
+# unlike the XLA-level cast jax's flash path forced, which materialized
+# f32 (B, H, S, 32) arrays in HBM and OOMed the training batch. Flip to
+# jnp.bfloat16 when a backend accepts bf16 operands to reclaim the MXU
+# rate discount.
+_MATMUL_DTYPE = jnp.float32
+
 
 def _pad_len(s: int) -> int:
     return -(-s // _LANE) * _LANE
@@ -73,15 +84,16 @@ def _mask_logits(logits, s_real: int, sp: int):
 def _head_attn_fwd(qh, kh, vh, s_real: int, scale: float):
     """One head, whole sequence in VMEM: (Sp, hd) x 3 -> (Sp, hd), P."""
     sp = qh.shape[0]
+    cd = _MATMUL_DTYPE
     logits = jax.lax.dot_general(
-        qh, kh, (((1,), (1,)), ((), ())),
+        qh.astype(cd), kh.astype(cd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
     logits = _mask_logits(logits, s_real, sp)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)          # (Sp, Sp) f32
     oh = jax.lax.dot_general(
-        p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+        p.astype(cd), vh.astype(cd), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return oh, p
 
@@ -101,13 +113,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                 num_heads: int, s_real: int, scale: float):
     d = q_ref.shape[-1]
     hd = d // num_heads
-    cd = q_ref.dtype  # matmul operand dtype (bf16 in training)
+    cd = _MATMUL_DTYPE  # in-kernel operand cast (see _MATMUL_DTYPE note)
     for h in range(num_heads):
         sl = slice(h * hd, (h + 1) * hd)
-        qh = q_ref[0, :, sl]
-        kh = k_ref[0, :, sl]
-        vh = v_ref[0, :, sl]
-        doh = do_ref[0, :, sl]
+        qh = q_ref[0, :, sl].astype(cd)
+        kh = k_ref[0, :, sl].astype(cd)
+        vh = v_ref[0, :, sl].astype(cd)
+        doh = do_ref[0, :, sl].astype(cd)
         _, p = _head_attn_fwd(qh, kh, vh, s_real, scale)
         pc = p.astype(cd)
         # dV = P^T dO           (contract the query axis)
