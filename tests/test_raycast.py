@@ -286,3 +286,36 @@ def test_column_split_roundtrip_through_renderer():
                                rtol=1e-6)
     # sanity: the split image really is a different ordering
     assert not np.array_equal(np.asarray(t_split), np.asarray(t_plain))
+
+
+def test_multi_sensor_normal_faceid_and_rgb_wrappers():
+    """num_sensors>1 stacking on the normal/face-id and RGB modalities:
+    each (N, S, ...) output slice equals the single-mount render at that
+    mount pose (the wrappers loop the S=1 core, so this is pure plumbing
+    — but it guards the axis conventions every consumer relies on)."""
+    from aerial_gym_simulator_tpu.sim.sim_builder import SimBuilder
+    from aerial_gym_simulator_tpu.sensors.raycast_sensor import (
+        render_normal_faceid, render_rgb)
+
+    env = SimBuilder().build_env("base_sim", "env_with_obstacles",
+                                 "base_quadrotor_with_camera",
+                                 "lee_velocity_control", num_envs=2, seed=0)
+    sp = env.params.camera
+    # two distinct hand-built mounts: nominal and 10 cm up
+    m0 = jnp.zeros((2, 3), jnp.float32)
+    m1 = m0.at[:, 2].set(0.1)
+    mq = jnp.tile(jnp.asarray([0, 0, 0, 1.0], jnp.float32), (2, 1))
+    mpos = jnp.stack([m0, m1], axis=1)                  # (2, 2, 3)
+    mquat = jnp.stack([mq, mq], axis=1)                 # (2, 2, 4)
+
+    d, n, f, s = render_normal_faceid(env.params, env.state, sp, mpos, mquat)
+    assert d.shape == (2, 2, sp.height, sp.width)
+    assert n.shape == (2, 2, sp.height, sp.width, 3)
+    d0, n0, f0, s0 = render_normal_faceid(env.params, env.state, sp, m1, mq)
+    np.testing.assert_array_equal(np.asarray(d[:, 1]), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(f[:, 1]), np.asarray(f0))
+
+    rgb, dep, seg = render_rgb(env.params, env.state, sp, mpos, mquat)
+    assert rgb.shape == (2, 2, sp.height, sp.width, 3)
+    rgb0, *_ = render_rgb(env.params, env.state, sp, m0, mq)
+    np.testing.assert_array_equal(np.asarray(rgb[:, 0]), np.asarray(rgb0))
