@@ -72,6 +72,12 @@ def main(argv=None):
                         "than both at seq 225 AND OOMs at the training "
                         "batch — kept for benchmarking, see scripts/"
                         "vit_attention_bench.py)")
+    p.add_argument("--vit_remat", action="store_true",
+                   help="rematerialize transformer blocks in the backward "
+                        "(jax.checkpoint): the memory lever for LARGE "
+                        "encoders — dim-512/depth-12 at batch 1024 OOMs "
+                        "without it under every attention impl and "
+                        "trains with it (param tree unchanged)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend before first device use (the axon TPU plugin ignores JAX_PLATFORMS=cpu; this flag is the reliable CPU-run switch)")
     args = p.parse_args(argv)
@@ -90,7 +96,8 @@ def main(argv=None):
         from .vit import DepthViT
         model = DepthViT(latent_dim=args.latent_dim, out_hw=(H, W),
                          dim=args.vit_dim, depth=args.vit_depth,
-                         num_heads=args.vit_heads, attn_impl=args.vit_attn)
+                         num_heads=args.vit_heads, attn_impl=args.vit_attn,
+                         remat=args.vit_remat)
     else:
         model = DepthVAE(latent_dim=args.latent_dim, out_hw=(H, W))
     key = jax.random.PRNGKey(args.seed)

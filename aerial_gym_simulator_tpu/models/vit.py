@@ -157,13 +157,22 @@ class TransformerBlock(nn.Module):
 
 class ViTEncoder(nn.Module):
     """Patchify -> transformer -> mean-pool -> (mean, logvar) latent head
-    (same output contract as models/vae.py Encoder)."""
+    (same output contract as models/vae.py Encoder).
+
+    remat=True rematerializes each transformer block in the backward
+    (nn.remat = jax.checkpoint): saved activations drop from
+    O(depth x B x S x 4*dim) to one block's worth, trading ~1 extra
+    forward of FLOPs. This is the binding constraint at large configs —
+    dim-512/depth-12 at batch 1024 OOMs under EVERY attention impl
+    without it (ROOFLINE.jsonl vit_attention_large_dim512_b1024, r5) and
+    compiles with it. Param tree is unchanged (checkpoints interchange)."""
     latent_dim: int = 64
     patch: Tuple[int, int] = (9, 16)
     dim: int = 128
     depth: int = 4
     num_heads: int = 4
     attn_impl: str = "xla"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -175,10 +184,12 @@ class ViTEncoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, h * w, d))
         x = x + pos
+        block_cls = (nn.remat(TransformerBlock) if self.remat
+                     else TransformerBlock)
         for i in range(self.depth):
-            x = TransformerBlock(self.dim, self.num_heads,
-                                 attn_impl=self.attn_impl,
-                                 name=f"block_{i}")(x)
+            x = block_cls(self.dim, self.num_heads,
+                          attn_impl=self.attn_impl,
+                          name=f"block_{i}")(x)
         x = nn.LayerNorm()(x)
         x = x.mean(axis=1)  # token mean-pool
         out = nn.Dense(2 * self.latent_dim, name="latent_head")(x)
@@ -197,11 +208,12 @@ class DepthViT(nn.Module):
     depth: int = 4
     num_heads: int = 4
     attn_impl: str = "xla"
+    remat: bool = False   # see ViTEncoder.remat (training-memory lever)
 
     def setup(self):
         self.encoder = ViTEncoder(self.latent_dim, self.patch, self.dim,
                                   self.depth, self.num_heads,
-                                  self.attn_impl)
+                                  self.attn_impl, self.remat)
         self.decoder = Decoder(self.latent_dim, self.out_hw)
 
     def __call__(self, x, key):

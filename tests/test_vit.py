@@ -140,3 +140,36 @@ def test_depth_vit_attn_impl_interchangeable():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(logvar_b), np.asarray(logvar_a),
                                atol=5e-5)
+
+
+def test_vit_remat_is_numerically_transparent():
+    """remat=True (jax.checkpoint over transformer blocks — the memory
+    lever that makes dim-512/depth-12 batch-1024 training fit, 5.17 GB
+    vs OOM, PERF.md r5) must not change outputs, gradients, or the param
+    tree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aerial_gym_simulator_tpu.models.vit import DepthViT
+
+    kw = dict(latent_dim=8, out_hw=(36, 48), patch=(9, 16), dim=32,
+              depth=2, num_heads=2)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 36, 48, 1), jnp.float32)
+    m_plain = DepthViT(remat=False, **kw)
+    m_remat = DepthViT(remat=True, **kw)
+    params = m_plain.init(key, x[:1], key)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(m_remat.init(key, x[:1], key)))
+
+    def loss(model, p):
+        mean, logvar = model.apply(p, x, method=DepthViT.encode)
+        return jnp.sum(mean ** 2) + jnp.sum(logvar ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m_plain, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_remat, p))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
