@@ -54,6 +54,13 @@ if __name__ == "__main__":
 
     policy = None
     trainer = None
+    if args.checkpoint and not _os.path.exists(args.checkpoint):
+        # an EXPLICIT checkpoint that doesn't exist must fail loudly —
+        # silently falling back to the shipped npz evaluates the wrong
+        # policy and poisons result logs (r5 incident: a killed training
+        # run left no checkpoint and the fallback produced plausible-
+        # looking 0% lines against a mismatched encoder)
+        raise FileNotFoundError(f"--checkpoint {args.checkpoint} not found")
     if args.checkpoint and _os.path.exists(args.checkpoint):
         trainer = PPOTrainer(task, PPOConfig(num_envs=args.num_envs,
                                              horizon=8, minibatch_size=256))

@@ -16,6 +16,7 @@
 #   bash scripts/train_radar_r5.sh [outfile.jsonl]
 
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-RADAR_R5.jsonl}"
 : > "$OUT"

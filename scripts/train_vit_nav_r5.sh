@@ -15,6 +15,7 @@
 # Run ALONE on the chip. Usage: bash scripts/train_vit_nav_r5.sh [out.jsonl]
 
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-VIT_R5.jsonl}"
 : > "$OUT"

@@ -10,6 +10,7 @@
 # Usage: bash scripts/train_vit_nav_r5b.sh [out.jsonl]
 
 set -u
+set -o pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-VIT_R5.jsonl}"
 DCE=examples/dce_rl_navigation/selected_network
@@ -21,7 +22,10 @@ ppo_with_retry() {  # ppo_with_retry <vae_pkl> <ckpt_out> <ckdir> <log>
   local ATTEMPT=0
   while [ $ATTEMPT -lt 3 ]; do
     local RESUME=""
-    [ $ATTEMPT -gt 0 ] && RESUME="--resume"
+    # resume on retries AND on a fresh launch over surviving elastic
+    # checkpoints (a previous driver's wedge must not discard progress)
+    { [ $ATTEMPT -gt 0 ] || [ -n "$(ls -A "$CKDIR" 2>/dev/null)" ]; } \
+      && RESUME="--resume"
     timeout 7200 python -m aerial_gym_simulator_tpu.rl.ppo \
       --task navigation_task --num_envs 1024 --total_steps 35000000 \
       --vae_params "$VAE" --save "$CKPT" \
